@@ -1,0 +1,175 @@
+"""Unidirectional transformer decoder (LRW / LRW-1000 seq2seq workloads).
+
+Rewrite of the reference per-project decoders
+(VSR_seq2seq_Transformer_with_phonemes_LRW/transformer/decoder.py:19-200 and
+the LRW1000 variant).  Training is a single parallel teacher-forced forward
+(one fused graph -- no step loop); greedy decode is a ``lax.scan``.
+
+Parity notes:
+* target preprocessing adds sos on the input side and eos on the output side;
+  inputs are padded with eos, gold with IGNORE_ID (decoder.py:64-79 -- unlike
+  the SBL decoder which eos-pads gold too).
+* optional tied embedding/projection with ``x_logit_scale = d_model**-0.5``
+  applied to the input embedding (decoder.py:57-62).
+* masks: causal + key-pad (ys_in == eos) self-attention; encoder-length
+  cross-attention mask (decoder.py:95-110).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops import masks as M
+from ..vocab import IGNORE_ID, SOS_ID, EOS_ID
+from .layers import DecoderLayer, sinusoid_position_encoding
+
+Array = jnp.ndarray
+
+
+def preprocess_targets_uni(labels: Array, maxlen: int,
+                           sos_id: int = SOS_ID, eos_id: int = EOS_ID,
+                           ignore_id: int = IGNORE_ID) -> Tuple[Array, Array]:
+    """(B, P) IGNORE-padded labels -> (ys_in (B, maxlen), ys_out (B, maxlen)).
+
+    ys_in  = [sos, y_0..y_{n-1}, eos, eos, ...]   (eos-padded)
+    ys_out = [y_0..y_{n-1}, eos, IGNORE, ...]     (IGNORE-padded gold)
+    """
+    B, P = labels.shape
+    lengths = jnp.sum(labels != ignore_id, axis=1)
+    pos = jnp.arange(maxlen)[None, :]
+
+    take = min(P, maxlen)
+    clean = jnp.where(labels[:, :take] != ignore_id,
+                      labels[:, :take], eos_id).astype(jnp.int32)
+
+    ys_in = jnp.full((B, maxlen), eos_id, jnp.int32)
+    ys_in = ys_in.at[:, 0].set(sos_id)
+    ys_in = ys_in.at[:, 1:take + 1 if take + 1 <= maxlen else maxlen].set(
+        clean[:, :maxlen - 1])
+
+    ys_out = jnp.full((B, maxlen), eos_id, jnp.int32)
+    ys_out = ys_out.at[:, :take].set(clean)
+    ys_out = jnp.where(pos < lengths[:, None], ys_out,
+                       jnp.where(pos == lengths[:, None], eos_id, ignore_id))
+    return ys_in, ys_out.astype(jnp.int32)
+
+
+class UniDecoder(nn.Module):
+    vocab_size: int = 42
+    d_model: int = 512
+    n_layers: int = 6
+    n_head: int = 8
+    d_k: int = 64
+    d_v: int = 64
+    d_inner: int = 2048
+    dropout: float = 0.1
+    pe_maxlen: int = 5000
+    maxlen: int = 14
+    tie_embedding: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.tgt_word_emb = nn.Embed(
+            self.vocab_size, self.d_model,
+            embedding_init=nn.initializers.xavier_uniform(),
+            dtype=self.dtype)
+        self.emb_drop = nn.Dropout(self.dropout)
+        self.layers = [
+            DecoderLayer(self.d_model, self.d_inner, self.n_head, self.d_k,
+                         self.d_v, self.dropout, self.dtype)
+            for i in range(self.n_layers)
+        ]
+        if not self.tie_embedding:
+            self.tgt_word_prj = nn.Dense(
+                self.vocab_size, use_bias=False,
+                kernel_init=nn.initializers.xavier_normal(),
+                dtype=self.dtype)
+        self.x_logit_scale = (self.d_model ** -0.5) if self.tie_embedding else 1.0
+
+    def _embed(self, ys: Array, deterministic: bool) -> Array:
+        T = ys.shape[1]
+        pe = jnp.asarray(sinusoid_position_encoding(self.pe_maxlen,
+                                                    self.d_model)[:T])
+        h = self.tgt_word_emb(ys) * self.x_logit_scale + pe.astype(self.dtype)
+        return self.emb_drop(h, deterministic=deterministic)
+
+    def _project(self, h: Array) -> Array:
+        if self.tie_embedding:
+            w = self.tgt_word_emb.embedding.astype(self.dtype)
+            return jnp.einsum("btd,vd->btv", h, w,
+                              preferred_element_type=jnp.float32)
+        return self.tgt_word_prj(h).astype(jnp.float32)
+
+    def _stack(self, h: Array, enc_output: Array, non_pad, slf_mask,
+               dec_enc_mask, deterministic: bool) -> Array:
+        for layer in self.layers:
+            h = layer(h, enc_output, non_pad_mask=non_pad,
+                      slf_attn_mask=slf_mask, dec_enc_attn_mask=dec_enc_mask,
+                      deterministic=deterministic)
+        return h
+
+    def __call__(self, labels: Array, enc_output: Array,
+                 enc_lengths: Optional[Array] = None,
+                 deterministic: bool = False):
+        """Parallel teacher-forced forward.  Returns (pred, gold):
+        logits (B, maxlen, V) float32 and IGNORE-padded gold (B, maxlen)."""
+        ys_in, ys_out = preprocess_targets_uni(labels, self.maxlen)
+        B, T = ys_in.shape
+        Tk = enc_output.shape[1]
+        non_pad = M.non_pad_mask_from_ids(ys_in, EOS_ID)
+        slf_mask = jnp.logical_or(M.causal_mask(T)[None],
+                                  M.key_pad_mask_from_ids(ys_in, EOS_ID))
+        dec_enc_mask = (M.key_pad_mask_from_lengths(enc_lengths, Tk)
+                        if enc_lengths is not None else None)
+        h = self._embed(ys_in, deterministic)
+        h = self._stack(h, enc_output.astype(self.dtype), non_pad, slf_mask,
+                        dec_enc_mask, deterministic)
+        logits = self._project(h).astype(jnp.float32)
+        return logits, ys_out
+
+    def recognize_greedy(self, enc_output: Array,
+                         maxlen: Optional[int] = None) -> Array:
+        """Batched greedy decode (reference LRW decoder.py:138-176): re-runs
+        the full prefix each step inside one ``lax.scan``.  Returns (B, L+1)
+        token ids including the leading sos."""
+        steps = self.maxlen if maxlen is None else maxlen
+        B = enc_output.shape[0]
+        L = steps + 1
+        enc = enc_output.astype(self.dtype)
+        ys0 = jnp.full((B, L), SOS_ID, jnp.int32)
+        causal = M.causal_mask(L)[None]
+
+        def body(ys, step):
+            beyond = (jnp.arange(L) > step)[None, None, :]
+            slf_mask = jnp.logical_or(causal, beyond)
+            h = self._embed(ys, True)
+            h = self._stack(h, enc, None, slf_mask, None, True)
+            logits = self._project(h)
+            last = jax.lax.dynamic_slice_in_dim(logits, step, 1, axis=1)[:, 0]
+            nxt = jnp.argmax(last, axis=-1).astype(jnp.int32)
+            ys = jax.lax.dynamic_update_slice_in_dim(
+                ys, nxt[:, None], step + 1, axis=1)
+            return ys, last
+
+        ys, step_logits = jax.lax.scan(
+            body, ys0, jnp.arange(steps, dtype=jnp.int32))
+        return ys
+
+    def step_logits(self, ys: Array, enc_output: Array, step: Array) -> Array:
+        """Logits for position ``step`` given token buffer ``ys`` (B, L).
+        Building block for external search loops (beam search)."""
+        L = ys.shape[1]
+        beyond = (jnp.arange(L) > step)[None, None, :]
+        slf_mask = jnp.logical_or(M.causal_mask(L)[None], beyond)
+        h = self._embed(ys, True)
+        h = self._stack(h, enc_output.astype(self.dtype), None, slf_mask,
+                        None, True)
+        last = jax.lax.dynamic_slice_in_dim(h, step, 1, axis=1)[:, 0]
+        if self.tie_embedding:
+            w = self.tgt_word_emb.embedding.astype(self.dtype)
+            return jnp.einsum("bd,vd->bv", last, w,
+                              preferred_element_type=jnp.float32)
+        return self.tgt_word_prj(last).astype(jnp.float32)

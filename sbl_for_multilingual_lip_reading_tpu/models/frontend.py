@@ -1,0 +1,139 @@
+"""Visual frontend: Conv3D ingest + per-frame ResNet-18 trunk.
+
+TPU-native rewrite of the reference frontend
+(SBL_Multilingual_Lip_reading/transformer/video_frontend.py:91-174):
+
+    Conv3d(1->64, k=(5,7,7), s=(1,2,2), p=(2,3,3), no bias) + BN + ReLU
+    + MaxPool3d(k=(1,3,3), s=(1,2,2), p=(0,1,1))
+    -> per-frame ResNet-18 (BasicBlock [2,2,2,2], 64/128/256/512, no stem)
+    -> global average pool -> (B, T, 512) -> dropout 0.5
+
+Design choices for TPU:
+* channels-last layouts throughout -- video enters as (B, T, H, W, 1)
+  (NDHWC) and frames fold into the batch as (B*T, H, W, C) (NHWC) so every
+  conv maps onto the MXU with XLA's preferred layout; the reference's
+  NCDHW permute/contiguous dance (video_frontend.py:116-120) disappears.
+* the whole stack jits into one fused graph; BatchNorm runs in float32
+  statistics regardless of compute dtype.
+* the reference applies ``F.dropout(x, p=0.5)`` unconditionally -- i.e. also
+  at eval time, a torch functional-API bug (video_frontend.py:122).  We gate
+  dropout on ``deterministic`` (the intended semantics) and document the
+  divergence here.
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+Array = jnp.ndarray
+
+# He-normal fan-out init, matching the reference's manual
+# normal_(0, sqrt(2/n)) with n = prod(kernel) * out_channels
+# (video_frontend.py:137-160, ResNet.__init__:55-58).
+_conv_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+class BasicBlock(nn.Module):
+    """ResNet BasicBlock (reference video_frontend.py:15-41)."""
+    filters: int
+    stride: int = 1
+    bn_momentum: float = 0.9
+    bn_epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        def bn(name):
+            return nn.BatchNorm(use_running_average=not train,
+                                momentum=self.bn_momentum,
+                                epsilon=self.bn_epsilon,
+                                dtype=jnp.float32, name=name)
+        residual = x
+        y = nn.Conv(self.filters, (3, 3), strides=(self.stride, self.stride),
+                    padding=((1, 1), (1, 1)), use_bias=False,
+                    kernel_init=_conv_init, dtype=self.dtype, name="conv1")(x)
+        y = bn("bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.filters, (3, 3), padding=((1, 1), (1, 1)),
+                    use_bias=False, kernel_init=_conv_init,
+                    dtype=self.dtype, name="conv2")(y)
+        y = bn("bn2")(y)
+        if self.stride != 1 or x.shape[-1] != self.filters:
+            residual = nn.Conv(self.filters, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, kernel_init=_conv_init,
+                               dtype=self.dtype, name="downsample_conv")(x)
+            residual = bn("downsample_bn")(residual)
+        return nn.relu(y + residual.astype(y.dtype))
+
+
+class ResNetTrunk(nn.Module):
+    """Stemless ResNet-18 trunk (reference video_frontend.py:44-89): four
+    stages at strides 1/2/2/2, global average pool to the feature dim."""
+    channels: Sequence[int] = (64, 128, 256, 512)
+    blocks: Sequence[int] = (2, 2, 2, 2)
+    bn_momentum: float = 0.9
+    bn_epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        for stage, (ch, nblocks) in enumerate(zip(self.channels, self.blocks)):
+            for b in range(nblocks):
+                stride = 2 if (stage > 0 and b == 0) else 1
+                x = BasicBlock(ch, stride, self.bn_momentum, self.bn_epsilon,
+                               self.dtype, name=f"layer{stage + 1}_block{b}")(
+                    x, train=train)
+        return jnp.mean(x, axis=(1, 2))  # AdaptiveAvgPool2d(1)
+
+
+class VisualFrontend(nn.Module):
+    """(B, T, H, W, 1) grayscale clip -> (B, T, feature_dim) features."""
+    conv3d_channels: int = 64
+    resnet_channels: Sequence[int] = (64, 128, 256, 512)
+    resnet_blocks: Sequence[int] = (2, 2, 2, 2)
+    feature_dim: int = 512
+    dropout: float = 0.5
+    bn_momentum: float = 0.9
+    bn_epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False,
+                 deterministic: bool = True) -> Array:
+        B, T = x.shape[0], x.shape[1]
+        x = x.astype(self.dtype)
+        x = nn.Conv(self.conv3d_channels, (5, 7, 7), strides=(1, 2, 2),
+                    padding=((2, 2), (3, 3), (3, 3)), use_bias=False,
+                    kernel_init=_conv_init, dtype=self.dtype,
+                    name="conv3d")(x)
+        x = nn.BatchNorm(use_running_average=not train,
+                         momentum=self.bn_momentum, epsilon=self.bn_epsilon,
+                         dtype=jnp.float32, name="bn3d")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, window_shape=(1, 3, 3), strides=(1, 2, 2),
+                        padding=((0, 0), (1, 1), (1, 1)))
+        # fold time into batch for the 2-D trunk: (B*T, H', W', C)
+        _, _, H, W, C = x.shape
+        x = x.reshape(B * T, H, W, C)
+        x = ResNetTrunk(self.resnet_channels, self.resnet_blocks,
+                        self.bn_momentum, self.bn_epsilon, self.dtype,
+                        name="resnet")(x, train=train)
+        x = nn.Dropout(self.dropout, name="feat_drop")(
+            x, deterministic=deterministic)
+        return x.reshape(B, T, self.feature_dim)
+
+
+def frontend_from_config(cfg, dtype=jnp.float32) -> VisualFrontend:
+    return VisualFrontend(
+        conv3d_channels=cfg.conv3d_channels,
+        resnet_channels=tuple(cfg.resnet_channels),
+        resnet_blocks=tuple(cfg.resnet_blocks),
+        feature_dim=cfg.feature_dim,
+        dropout=cfg.dropout,
+        bn_momentum=cfg.bn_momentum,
+        bn_epsilon=cfg.bn_epsilon,
+        dtype=dtype,
+    )

@@ -1,0 +1,174 @@
+"""Core transformer building blocks (Flax/Linen, TPU-first).
+
+Functional rewrites of the reference model library
+(SBL_Multilingual_Lip_reading/transformer/{attention,module}.py):
+
+* ``MultiHeadAttention`` -- 8 heads, d_k=d_v=64, *post-LN* residual
+  (``LayerNorm(dropout(out_proj(attn)) + q)``, attention.py:56-58).  The
+  reference's per-head ``(n*b, len, d)`` reshape dance is replaced by a
+  single batched einsum that XLA maps straight onto the MXU; softmax is
+  computed in float32 for bf16 safety.
+* ``PositionwiseFeedForward`` -- w2(relu(w1(x))) with post-LN residual
+  (module.py:35-55).
+* ``sinusoid_position_encoding`` -- the fixed PE table (module.py:8-32).
+* ``EncoderLayer`` / ``DecoderLayer`` -- sublayer compositions including the
+  reference's ``*= non_pad_mask`` zeroing after every sublayer
+  (encoder.py:85-89, decoder.py:396-408).
+
+Masks are boolean with True == disallowed (see ops/masks.py).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+Array = jnp.ndarray
+
+# Large-negative fill for masked logits; -inf is avoided so fully-masked
+# rows (which cannot occur in valid configs, but may in padded buffers)
+# produce uniform attention instead of NaN.
+_MASK_FILL = -1e9
+
+
+def sinusoid_position_encoding(max_len: int, d_model: int) -> np.ndarray:
+    """(max_len, d_model) float32 sinusoidal table (reference module.py:16-26)."""
+    position = np.arange(max_len, dtype=np.float32)[:, None]
+    div_term = np.exp(np.arange(0, d_model, 2, dtype=np.float32)
+                      * -(np.log(10000.0) / d_model))
+    pe = np.zeros((max_len, d_model), dtype=np.float32)
+    pe[:, 0::2] = np.sin(position * div_term)
+    pe[:, 1::2] = np.cos(position * div_term)
+    return pe
+
+
+class MultiHeadAttention(nn.Module):
+    d_model: int
+    n_head: int
+    d_k: int
+    d_v: int
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q: Array, k: Array, v: Array,
+                 mask: Optional[Array] = None,
+                 deterministic: bool = True) -> Array:
+        """q/k/v: (B, T, d_model); mask broadcastable to (B, Tq, Tk)."""
+        residual = q
+        d_model, h, d_k, d_v = self.d_model, self.n_head, self.d_k, self.d_v
+        # init parity: reference draws q/k proj from N(0, 2/(d_model+d_k))
+        # (attention.py:19-21); out proj xavier-normal (attention.py:28).
+        qk_init = nn.initializers.normal(stddev=float(np.sqrt(2.0 / (d_model + d_k))))
+        v_init = nn.initializers.normal(stddev=float(np.sqrt(2.0 / (d_model + d_v))))
+        wq = nn.Dense(h * d_k, kernel_init=qk_init, dtype=self.dtype, name="w_qs")
+        wk = nn.Dense(h * d_k, kernel_init=qk_init, dtype=self.dtype, name="w_ks")
+        wv = nn.Dense(h * d_v, kernel_init=v_init, dtype=self.dtype, name="w_vs")
+        out_proj = nn.Dense(d_model, kernel_init=nn.initializers.xavier_normal(),
+                            dtype=self.dtype, name="fc")
+
+        B, Tq, _ = q.shape
+        Tk = k.shape[1]
+        qh = wq(q).reshape(B, Tq, h, d_k)
+        kh = wk(k).reshape(B, Tk, h, d_k)
+        vh = wv(v).reshape(B, Tk, h, d_v)
+
+        scale = 1.0 / np.sqrt(d_k)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
+                            preferred_element_type=jnp.float32) * scale
+        if mask is not None:
+            logits = jnp.where(mask[:, None, :, :], _MASK_FILL, logits)
+        attn = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
+        attn = nn.Dropout(self.dropout, name="attn_drop")(
+            attn, deterministic=deterministic)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, vh,
+                         preferred_element_type=jnp.float32).astype(self.dtype)
+        ctx = ctx.reshape(B, Tq, h * d_v)
+        out = out_proj(ctx)
+        out = nn.Dropout(self.dropout, name="out_drop")(
+            out, deterministic=deterministic)
+        out = nn.LayerNorm(dtype=jnp.float32, name="layer_norm")(
+            out.astype(jnp.float32) + residual.astype(jnp.float32))
+        return out.astype(self.dtype)
+
+
+class PositionwiseFeedForward(nn.Module):
+    d_model: int
+    d_inner: int
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        residual = x
+        h = nn.Dense(self.d_inner, dtype=self.dtype,
+                     kernel_init=nn.initializers.xavier_uniform(), name="w_1")(x)
+        h = nn.relu(h)
+        h = nn.Dense(self.d_model, dtype=self.dtype,
+                     kernel_init=nn.initializers.xavier_uniform(), name="w_2")(h)
+        h = nn.Dropout(self.dropout, name="drop")(h, deterministic=deterministic)
+        out = nn.LayerNorm(dtype=jnp.float32, name="layer_norm")(
+            h.astype(jnp.float32) + residual.astype(jnp.float32))
+        return out.astype(self.dtype)
+
+
+class EncoderLayer(nn.Module):
+    d_model: int
+    d_inner: int
+    n_head: int
+    d_k: int
+    d_v: int
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, non_pad_mask: Optional[Array] = None,
+                 slf_attn_mask: Optional[Array] = None,
+                 deterministic: bool = True) -> Array:
+        x = MultiHeadAttention(self.d_model, self.n_head, self.d_k, self.d_v,
+                               self.dropout, self.dtype, name="slf_attn")(
+            x, x, x, mask=slf_attn_mask, deterministic=deterministic)
+        if non_pad_mask is not None:
+            x = x * non_pad_mask.astype(x.dtype)
+        x = PositionwiseFeedForward(self.d_model, self.d_inner, self.dropout,
+                                    self.dtype, name="pos_ffn")(
+            x, deterministic=deterministic)
+        if non_pad_mask is not None:
+            x = x * non_pad_mask.astype(x.dtype)
+        return x
+
+
+class DecoderLayer(nn.Module):
+    d_model: int
+    d_inner: int
+    n_head: int
+    d_k: int
+    d_v: int
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, enc_output: Array,
+                 non_pad_mask: Optional[Array] = None,
+                 slf_attn_mask: Optional[Array] = None,
+                 dec_enc_attn_mask: Optional[Array] = None,
+                 deterministic: bool = True) -> Array:
+        x = MultiHeadAttention(self.d_model, self.n_head, self.d_k, self.d_v,
+                               self.dropout, self.dtype, name="slf_attn")(
+            x, x, x, mask=slf_attn_mask, deterministic=deterministic)
+        if non_pad_mask is not None:
+            x = x * non_pad_mask.astype(x.dtype)
+        x = MultiHeadAttention(self.d_model, self.n_head, self.d_k, self.d_v,
+                               self.dropout, self.dtype, name="enc_attn")(
+            x, enc_output, enc_output, mask=dec_enc_attn_mask,
+            deterministic=deterministic)
+        if non_pad_mask is not None:
+            x = x * non_pad_mask.astype(x.dtype)
+        x = PositionwiseFeedForward(self.d_model, self.d_inner, self.dropout,
+                                    self.dtype, name="pos_ffn")(
+            x, deterministic=deterministic)
+        if non_pad_mask is not None:
+            x = x * non_pad_mask.astype(x.dtype)
+        return x

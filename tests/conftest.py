@@ -1,10 +1,15 @@
 import os
 
 # Tests run on a virtual 8-device CPU mesh so sharding paths are exercised
-# without TPU hardware (SURVEY.md §4 test strategy).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# without TPU hardware (SURVEY.md §4 test strategy).  XLA_FLAGS must be set
+# before jax initializes; the platform override must go through
+# jax.config.update because the axon TPU plugin ignores JAX_PLATFORMS.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
