@@ -1,0 +1,137 @@
+"""Real-data datasets: LRW npy clips and LRW-1000 jpg frame dirs.
+
+Mixed bilingual dataset matching the reference ``AiShellDataset`` contract
+(SBL_Multilingual_Lip_reading/data_gen.py:127-322) but restructured for
+throughput on a mostly-idle host:
+
+* LRW clips stay **uint8** end-to-end on the host (the reference converts to
+  float64 at load via ``/255`` then crops in python, data_gen.py:122-125);
+  normalization/crop/flip run on-device (see data/pipeline.py).
+* the LRW-1000 silence probe and label filtering are offline
+  (data/manifest.py), not per-construction work.
+* labels are precomputed once per word/pinyin (closed sets), not per sample.
+
+Returned sample dict matches SyntheticLipDataset so the two are
+interchangeable throughout training/eval.
+"""
+from __future__ import annotations
+
+import glob
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..vocab import IGNORE_ID, encode_english_word
+from .manifest import Lrw1000Entry, read_manifest
+from .synthetic import _pad_labels
+
+try:
+    import cv2
+except Exception:  # pragma: no cover - cv2 present in this image
+    cv2 = None
+
+
+class LrwDataset:
+    """LRW word clips stored as (29, 96, 96) uint8-convertible .npy files,
+    one directory per word with train/val/test splits
+    (reference data_gen.py:137-151: ``<root>/<WORD>/<split>/<WORD>_*.npy``)."""
+
+    def __init__(self, root: str, split: str = "train", frames: int = 30,
+                 pad_len: int = 14, data_fraction: float = 1.0):
+        self.frames = frames
+        self.pad_len = pad_len
+        self.samples: List[tuple] = []
+        label_cache: Dict[str, np.ndarray] = {}
+        for fold in sorted(glob.glob(os.path.join(root, "*"))):
+            files = sorted(glob.glob(os.path.join(fold, split, "*.npy")))
+            files = files[:int(len(files) * data_fraction)]
+            for f in files:
+                word = os.path.basename(f).split("_")[0]
+                if word not in label_cache:
+                    ids = encode_english_word(word)
+                    label_cache[word] = (
+                        _pad_labels(ids, pad_len),
+                        _pad_labels(ids[::-1], pad_len),
+                        np.int32(0))
+                self.samples.append((f, word))
+        self._labels = label_cache
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        path, word = self.samples[i]
+        arr = np.load(path)
+        if arr.dtype != np.uint8:
+            # stored floats in [0,1] or [0,255]
+            arr = (arr * 255.0).astype(np.uint8) if arr.max() <= 1.0 \
+                else arr.astype(np.uint8)
+        clip = np.zeros((self.frames,) + arr.shape[1:], dtype=np.uint8)
+        clip[:min(len(arr), self.frames)] = arr[:self.frames]
+        labels, labels_rev, lang = self._labels[word]
+        return {"clip_u8": clip, "labels": labels,
+                "labels_reverse": labels_rev, "lang_id": lang,
+                "word_id": np.int32(0)}
+
+
+class Lrw1000Dataset:
+    """LRW-1000 clips as jpg frame directories + a (clean) manifest
+    (reference load_images, data_gen.py:59-97): frames ``{st..ed}.jpg``
+    resized to raw_size, clamped to ``frames`` frames, zero-padded."""
+
+    def __init__(self, images_root: str, manifest_path: str,
+                 frames: int = 30, raw_size: int = 96, pad_len: int = 14,
+                 limit: Optional[int] = None):
+        if cv2 is None:
+            raise RuntimeError("cv2 required for LRW-1000 jpg decoding")
+        self.images_root = images_root
+        self.frames = frames
+        self.raw = raw_size
+        self.pad_len = pad_len
+        self.entries: List[Lrw1000Entry] = read_manifest(manifest_path,
+                                                         limit=limit)
+
+    def __len__(self):
+        return len(self.entries)
+
+    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        e = self.entries[i]
+        st, ed = e.start_frame, e.end_frame
+        if ed > st + self.frames:
+            ed = st + self.frames
+        if st == ed:
+            ed = st + 1
+        clip = np.zeros((self.frames, self.raw, self.raw), dtype=np.uint8)
+        t = 0
+        for fr in range(st, ed):
+            path = os.path.join(self.images_root, e.img_dir, f"{fr}.jpg")
+            if not os.path.exists(path):
+                continue
+            img = cv2.imread(path)
+            if img is None:
+                continue
+            img = cv2.resize(img, (self.raw, self.raw))
+            img = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
+            clip[t] = img
+            t += 1
+        ids = e.label_ids
+        return {"clip_u8": clip, "labels": _pad_labels(ids, self.pad_len),
+                "labels_reverse": _pad_labels(ids[::-1], self.pad_len),
+                "lang_id": np.int32(1), "word_id": np.int32(0)}
+
+
+class MixedBilingualDataset:
+    """LRW + LRW-1000 concatenation (the SBL 'all' kind, data_gen.py:128)."""
+
+    def __init__(self, lrw: LrwDataset, lrw1000: Lrw1000Dataset):
+        self.lrw = lrw
+        self.lrw1000 = lrw1000
+
+    def __len__(self):
+        return len(self.lrw) + len(self.lrw1000)
+
+    def __getitem__(self, i: int):
+        if i < len(self.lrw):
+            return self.lrw[i]
+        return self.lrw1000[i - len(self.lrw)]

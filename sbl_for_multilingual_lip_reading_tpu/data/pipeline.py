@@ -1,0 +1,129 @@
+"""Host batching + device-side ingest with prefetch.
+
+The reference burns host CPU in 16-32 DataLoader workers doing per-frame
+cv2/float math and ships float32 tensors over the bus
+(SBL_Multilingual_Lip_reading/data_gen.py:270-304, train.py:123).  Here the
+host only assembles uint8 batches and tiny integer augmentation plans; one
+jitted XLA graph on the device does u8->f32 conversion, ColorNormalize,
+per-frame crop, flip and FrameRemoval-gather fused together
+(``make_ingest_fn``), and ``prefetch_to_device`` keeps the next batch's
+transfer in flight while the current step computes (double buffering).
+"""
+from __future__ import annotations
+
+import collections
+from typing import Callable, Iterable, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .transforms import MEAN, STD
+
+
+def device_ingest(clips_u8: jnp.ndarray, offsets: jnp.ndarray,
+                  flip: jnp.ndarray, frame_map: jnp.ndarray,
+                  crop: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Fused on-device preprocessing.
+
+    clips_u8:  (B, T, H, W) uint8 raw frames
+    offsets:   (B, T, 2) int32 per-frame (y, x) crop offsets
+    flip:      (B,) bool whole-clip horizontal flip
+    frame_map: (B, T) int32 source-frame gather map (FrameRemoval)
+    Returns (B, T, crop, crop) normalized ``dtype`` frames.
+    """
+    B, T, H, W = clips_u8.shape
+
+    # FrameRemoval: gather source frames per output slot
+    clips = jnp.take_along_axis(clips_u8, frame_map[:, :, None, None], axis=1)
+
+    def crop_frame(frame, off):
+        return jax.lax.dynamic_slice(frame, (off[0], off[1]), (crop, crop))
+
+    cropped = jax.vmap(jax.vmap(crop_frame))(clips, offsets)
+    x = cropped.astype(jnp.float32) * (1.0 / 255.0)
+    x = (x - MEAN) / STD
+    x = jnp.where(flip[:, None, None, None], x[:, :, :, ::-1], x)
+    return x.astype(dtype)
+
+
+def make_ingest_fn(crop: int, dtype=jnp.float32) -> Callable:
+    """Jit-compiled ingest closure over static crop size / dtype."""
+    def fn(clips_u8, offsets, flip, frame_map):
+        return device_ingest(clips_u8, offsets, flip, frame_map, crop, dtype)
+    return jax.jit(fn)
+
+
+class Batcher:
+    """Assembles fixed-size batches of numpy arrays from a dataset.
+
+    dataset: indexable with __len__ whose __getitem__ returns a dict of
+    numpy arrays (all fixed-shape).  Drops the ragged tail so every batch
+    has a static shape (XLA-friendly; the reference's DataLoader default
+    keeps ragged tails and pays recompiles it never notices).
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 seed: int = 0, drop_last: bool = True,
+                 sampler: Optional[Iterable] = None):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.rng = np.random.default_rng(seed)
+        self.sampler = sampler
+
+    def __len__(self):
+        if self.sampler is not None:
+            return len(self.sampler)
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[dict]:
+        if self.sampler is not None:
+            for idx_batch in self.sampler:
+                yield self._collate([self.dataset[i] for i in idx_batch])
+            return
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        stop = (len(order) // self.batch_size * self.batch_size
+                if self.drop_last else len(order))
+        for s in range(0, stop, self.batch_size):
+            idx = order[s:s + self.batch_size]
+            yield self._collate([self.dataset[i] for i in idx])
+
+    @staticmethod
+    def _collate(samples) -> dict:
+        out = {}
+        for key in samples[0]:
+            out[key] = np.stack([s[key] for s in samples])
+        return out
+
+
+def prefetch_to_device(it: Iterable[dict], size: int = 2,
+                       sharding=None) -> Iterator[dict]:
+    """Double-buffered host->device transfer: keeps ``size`` batches in
+    flight so the accelerator never waits on PCIe.  With a ``sharding``,
+    batches land already laid out across the mesh."""
+    queue = collections.deque()
+
+    def put(batch):
+        if sharding is not None:
+            return jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, sharding), batch)
+        return jax.tree_util.tree_map(jax.device_put, batch)
+
+    it = iter(it)
+    try:
+        for _ in range(size):
+            queue.append(put(next(it)))
+    except StopIteration:
+        pass
+    while queue:
+        batch = queue.popleft()
+        try:
+            queue.append(put(next(it)))
+        except StopIteration:
+            pass
+        yield batch

@@ -1,0 +1,93 @@
+"""Synthetic clip dataset: CPU-runnable stand-in for LRW / LRW-1000.
+
+The real datasets are licensed and absent from this image (the reference
+assumes ``roi_80_116_175_211_npy_gray`` npy trees etc., config.py:39-46).
+This dataset fabricates deterministic uint8 clips with *known* phoneme
+targets drawn from the real vocab tables, so every train/eval path --
+including WER/PER scoring -- runs end-to-end on any backend
+(SURVEY.md §4: "synthetic-clip fake dataset ... so train/eval run CPU-only").
+
+Each index deterministically selects a word:
+* even indices -> an LRW English word (label via the ARPABET table)
+* odd indices  -> an LRW-1000 pinyin entry (label via the pinyin table)
+matching the mixed bilingual AiShellDataset contract
+(SBL data_gen.py:270-304): returns raw uint8 frames plus IGNORE-padded
+labels, reversed labels, and the language id.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..vocab import (IGNORE_ID, TOTAL_PHONEMES, chinese_phoneme_map,
+                     encode_english_word, encode_pinyin_seq, lrw_words,
+                     lrw1000_words, words_1500)
+
+
+def _pad_labels(ids, pad_len: int) -> np.ndarray:
+    out = np.full((pad_len,), IGNORE_ID, dtype=np.int32)
+    ids = ids[:pad_len]
+    out[:len(ids)] = ids
+    return out
+
+
+class SyntheticLipDataset:
+    """Indexable dataset of synthetic raw clips.
+
+    Returns dict with:
+      clip_u8:        (frames, raw, raw) uint8
+      labels:         (pad_len,) int32, IGNORE-padded phoneme ids
+      labels_reverse: (pad_len,) int32
+      lang_id:        () int32 (0 = LRW/English, 1 = LRW-1000/Mandarin)
+      word_id:        () int32 index into the 1500-word list (classify)
+    """
+
+    def __init__(self, size: int = 64, frames: int = 30, raw_size: int = 96,
+                 pad_len: int = 14, kind: str = "all", seed: int = 0):
+        assert kind in ("all", "lrw", "lrw1000")
+        self.size = size
+        self.frames = frames
+        self.raw = raw_size
+        self.pad_len = pad_len
+        self.kind = kind
+        self.seed = seed
+        self._lrw = lrw_words()
+        self._lrw1000 = [w for w in lrw1000_words()
+                         if all(s in chinese_phoneme_map()
+                                for s in w.split(" "))]
+
+    def __len__(self):
+        return self.size
+
+    def _is_lrw(self, i: int) -> bool:
+        if self.kind == "lrw":
+            return True
+        if self.kind == "lrw1000":
+            return False
+        return i % 2 == 0
+
+    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        rng = np.random.default_rng(self.seed * 1000003 + i)
+        clip = rng.integers(0, 256, size=(self.frames, self.raw, self.raw),
+                            dtype=np.uint8)
+        if self._is_lrw(i):
+            word = self._lrw[i % len(self._lrw)]
+            ids = encode_english_word(word)
+            lang = 0
+            word_id = self._lrw.index(word)
+        else:
+            word = self._lrw1000[i % len(self._lrw1000)]
+            ids = encode_pinyin_seq(word.split(" "))
+            lang = 1
+            try:
+                word_id = 500 + words_1500()[500:].index(word)
+            except ValueError:
+                word_id = 500
+        return {
+            "clip_u8": clip,
+            "labels": _pad_labels(ids, self.pad_len),
+            "labels_reverse": _pad_labels(ids[::-1], self.pad_len),
+            "lang_id": np.int32(lang),
+            "word_id": np.int32(word_id),
+        }

@@ -1,0 +1,167 @@
+"""Video clip transforms.
+
+Host-side (numpy, vectorized) parity implementations of the reference's
+cvtransforms + data_gen augmentations
+(SBL_Multilingual_Lip_reading/cvtransforms.py:1-48, data_gen.py:99-120), and
+the plan-based formulation used by the device ingest path (data/pipeline.py):
+all randomness is drawn on the host into tiny integer arrays (crop offsets,
+flip flags, frame index maps) while the heavy pixel math (u8->f32, normalize,
+crop, flip, gather) runs on-device inside one jitted XLA graph -- the clip
+travels over PCIe as uint8 (4x less host->device traffic than the reference's
+f32 tensors).
+
+Reference semantics preserved:
+* ``ColorNormalize``: (x - 0.413621) / 0.1700239  (cvtransforms.py:44-48)
+* ``RandomCrop``: *per-frame* random offsets in [0, 8] (the reference draws
+  x1/y1 inside the frame loop, cvtransforms.py:28-29)
+* ``CenterCrop``: fixed offset (w-tw)//2 = 4 for 96->88
+* LRW-1000 jpg path crops with a *per-clip* offset in [0, 4]
+  (border = (96-88)//2, data_gen.py:63-66)
+* ``HorizontalFlip`` (data_gen.py:99-102): whole-clip spatial reverse, p=0.5
+* ``FrameRemoval`` (data_gen.py:104-108): frame i := frame i-1 w.p. 0.05
+* ``FrameZero`` (data_gen.py:110-120): zero a frame w.p. 0.1 (defined but
+  never called by the reference; available here behind a flag)
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import numpy as np
+
+MEAN = 0.413621
+STD = 0.1700239
+
+
+def color_normalize(x: np.ndarray) -> np.ndarray:
+    return (x - MEAN) / STD
+
+
+def center_crop(clip: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
+    """(T, H, W) -> (T, th, tw) center crop."""
+    th, tw = size
+    h, w = clip.shape[1], clip.shape[2]
+    y1 = int(round(h - th) / 2.0)
+    x1 = int(round(w - tw) / 2.0)
+    return clip[:, y1:y1 + th, x1:x1 + tw]
+
+
+def random_crop_per_frame(clip: np.ndarray, size: Tuple[int, int],
+                          rng: np.random.Generator) -> np.ndarray:
+    """(T, H, W) -> (T, th, tw) with an independent offset per frame
+    (reference RandomCrop, cvtransforms.py:22-33)."""
+    th, tw = size
+    T, h, w = clip.shape
+    ys = rng.integers(0, h - th + 1, size=T)
+    xs = rng.integers(0, w - tw + 1, size=T)
+    out = np.empty((T, th, tw), dtype=clip.dtype)
+    for i in range(T):
+        out[i] = clip[i, ys[i]:ys[i] + th, xs[i]:xs[i] + tw]
+    return out
+
+
+def random_crop_clip(clip: np.ndarray, size: Tuple[int, int],
+                     rng: np.random.Generator,
+                     max_offset: Optional[int] = None) -> np.ndarray:
+    """Single random offset for the whole clip (LRW-1000 jpg path,
+    data_gen.py:63-66; offset range [0, (H-th)//2] there)."""
+    th, tw = size
+    h, w = clip.shape[1], clip.shape[2]
+    if max_offset is None:
+        max_offset = (h - th) // 2
+    y1 = int(rng.integers(0, max_offset + 1))
+    x1 = int(rng.integers(0, max_offset + 1))
+    return clip[:, y1:y1 + th, x1:x1 + tw]
+
+
+def horizontal_flip(clip: np.ndarray, rng: np.random.Generator,
+                    p: float = 0.5) -> np.ndarray:
+    """Whole-clip spatial reverse w.p. p (reference data_gen.py:99-102)."""
+    if rng.random() < p:
+        return clip[:, :, ::-1]
+    return clip
+
+
+def frame_removal(clip: np.ndarray, rng: np.random.Generator,
+                  p: float = 0.05) -> np.ndarray:
+    """Duplicate the previous frame w.p. p per frame (data_gen.py:104-108)."""
+    clip = clip.copy()
+    for i in range(1, clip.shape[0]):
+        if rng.random() < p:
+            clip[i] = clip[i - 1]
+    return clip
+
+
+def frame_zero(clip: np.ndarray, rng: np.random.Generator,
+               p: float = 0.1) -> np.ndarray:
+    """Zero frames w.p. p (data_gen.py:110-120; unused by the reference)."""
+    clip = clip.copy()
+    mask = rng.random(clip.shape[0]) < p
+    clip[mask] = 0
+    return clip
+
+
+# ---------------------------------------------------------------------------
+# Plan-based augmentation: host draws randomness, device executes pixels.
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class AugPlan:
+    """Per-clip integer augmentation plan consumed by the device ingest op.
+
+    offsets:   (T, 2) int32 per-frame (y, x) crop offsets
+    flip:      bool -- whole-clip horizontal flip
+    frame_map: (T,) int32 source-frame index per output frame (implements
+               FrameRemoval as a gather; identity when no removal)
+    """
+    offsets: np.ndarray
+    flip: bool
+    frame_map: np.ndarray
+
+
+def make_train_plan(rng: np.random.Generator, frames: int, raw: int,
+                    crop: int, frame_removal_p: float = 0.05,
+                    per_frame_offsets: bool = True,
+                    max_offset: Optional[int] = None) -> AugPlan:
+    hi = (raw - crop) if max_offset is None else max_offset
+    if per_frame_offsets:
+        offs = rng.integers(0, hi + 1, size=(frames, 2)).astype(np.int32)
+    else:
+        offs = np.broadcast_to(
+            rng.integers(0, hi + 1, size=(1, 2)), (frames, 2)
+        ).astype(np.int32)
+    flip = bool(rng.random() < 0.5)
+    fmap = np.arange(frames, dtype=np.int32)
+    drop = rng.random(frames) < frame_removal_p
+    for i in range(1, frames):
+        if drop[i]:
+            fmap[i] = fmap[i - 1]
+    # reference applies FrameRemoval AFTER cropping (data_gen.py:282-287), so
+    # a duplicated frame carries its source frame's crop offset too
+    offs = offs[fmap]
+    return AugPlan(offsets=offs, flip=flip, frame_map=fmap)
+
+
+def make_eval_plan(frames: int, raw: int, crop: int) -> AugPlan:
+    c = int(round(raw - crop) / 2.0)
+    offs = np.full((frames, 2), c, dtype=np.int32)
+    return AugPlan(offsets=offs, flip=False,
+                   frame_map=np.arange(frames, dtype=np.int32))
+
+
+def apply_plan_host(clip_u8: np.ndarray, plan: AugPlan,
+                    crop: int) -> np.ndarray:
+    """Reference-parity host execution of a plan: uint8 (T, H, W) ->
+    normalized float32 (T, crop, crop).  Used in tests to validate the
+    device ingest op."""
+    T = clip_u8.shape[0]
+    out = np.empty((T, crop, crop), dtype=np.float32)
+    for i in range(T):
+        src = clip_u8[plan.frame_map[i]]
+        y, x = plan.offsets[i]
+        out[i] = src[y:y + crop, x:x + crop].astype(np.float32)
+    out /= 255.0
+    out = color_normalize(out)
+    if plan.flip:
+        out = out[:, :, ::-1]
+    return np.ascontiguousarray(out)
