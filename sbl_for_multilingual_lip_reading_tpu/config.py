@@ -176,6 +176,9 @@ def tiny_test(name: str = "sbl") -> WorkloadConfig:
         base, dims=dims, frontend=fe, batch_size=2, compute_dtype="float32",
         data=dataclasses.replace(base.data, frames=30 if name != "classify" else 31,
                                  raw_size=40, crop_size=32),
+        # short warmup so a handful of test steps sees a usable lr
+        optim=dataclasses.replace(base.optim, k=0.1, warmup_steps=20,
+                                  lr_base_dim=dims.d_model),
     )
 
 

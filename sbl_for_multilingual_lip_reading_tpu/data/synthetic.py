@@ -20,9 +20,15 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from ..vocab import (IGNORE_ID, TOTAL_PHONEMES, chinese_phoneme_map,
-                     encode_english_word, encode_pinyin_seq, lrw_words,
+from ..vocab import (IGNORE_ID, LRW_PHONEMES, LRW1000_PHONEMES,
+                     TOTAL_PHONEMES, chinese_phoneme_map,
+                     encode_english_word, encode_pinyin_seq,
+                     pinyin_to_phonemes, word_to_phonemes, lrw_words,
                      lrw1000_words, words_1500)
+
+# the LRW project's 42-token vocab spells two phonemes differently from the
+# unified table (English_phonemes_total.py: 'ing' vs 'ng', 'a2' vs 'a1')
+_LRW_RESPELL = {"ng": "ing", "a1": "a2"}
 
 
 def _pad_labels(ids, pad_len: int) -> np.ndarray:
@@ -44,13 +50,18 @@ class SyntheticLipDataset:
     """
 
     def __init__(self, size: int = 64, frames: int = 30, raw_size: int = 96,
-                 pad_len: int = 14, kind: str = "all", seed: int = 0):
+                 pad_len: int = 14, kind: str = "all", seed: int = 0,
+                 vocab: str = "sbl"):
+        """vocab: which token table labels use -- 'sbl' (58, unified),
+        'lrw' (42, English project), 'lrw1000' (48, Mandarin project)."""
         assert kind in ("all", "lrw", "lrw1000")
+        assert vocab in ("sbl", "lrw", "lrw1000")
         self.size = size
         self.frames = frames
         self.raw = raw_size
         self.pad_len = pad_len
         self.kind = kind
+        self.vocab = vocab
         self.seed = seed
         self._lrw = lrw_words()
         self._lrw1000 = [w for w in lrw1000_words()
@@ -73,12 +84,20 @@ class SyntheticLipDataset:
                             dtype=np.uint8)
         if self._is_lrw(i):
             word = self._lrw[i % len(self._lrw)]
-            ids = encode_english_word(word)
+            if self.vocab == "lrw":
+                phs = [_LRW_RESPELL.get(p, p) for p in word_to_phonemes(word)]
+                ids = [LRW_PHONEMES.index(p) for p in phs]
+            else:
+                ids = encode_english_word(word)
             lang = 0
             word_id = self._lrw.index(word)
         else:
             word = self._lrw1000[i % len(self._lrw1000)]
-            ids = encode_pinyin_seq(word.split(" "))
+            if self.vocab == "lrw1000":
+                ids = [LRW1000_PHONEMES.index(p)
+                       for p in pinyin_to_phonemes(word.split(" "))]
+            else:
+                ids = encode_pinyin_seq(word.split(" "))
             lang = 1
             try:
                 word_id = 500 + words_1500()[500:].index(word)

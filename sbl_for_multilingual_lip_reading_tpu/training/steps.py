@@ -1,0 +1,170 @@
+"""Jit-compiled train / eval steps for every workload.
+
+Each step is ONE fused XLA graph: uint8 ingest (normalize/crop/flip/gather)
+-> frontend -> encoder -> decoder -> loss -> grads -> optimizer update.  The
+reference splits this across DataLoader workers, python-side augmentation,
+a python 16-step decode loop, and DataParallel scatter/gather
+(SBL train.py:177-210); here XLA schedules the whole step.
+
+Gradient semantics: loss = 0.5 * (l2r + r2l) with label smoothing 0.1
+(reference train.py:190-193).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..data.pipeline import device_ingest
+from .loss import cal_performance, classify_loss
+from .state import TrainState
+
+
+def _ingest_train(batch, crop: int, dtype):
+    return device_ingest(batch["clip_u8"], batch["offsets"], batch["flip"],
+                         batch["frame_map"], crop, dtype)
+
+
+def _ingest_eval(batch, crop: int, dtype):
+    B, T, H, W = batch["clip_u8"].shape
+    c = int(round(H - crop) / 2.0)
+    offsets = jnp.full((B, T, 2), c, jnp.int32)
+    flip = jnp.zeros((B,), bool)
+    fmap = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
+    return device_ingest(batch["clip_u8"], offsets, flip, fmap, crop, dtype)
+
+
+def make_sbl_train_step(model, tx, cfg) -> Callable:
+    crop = cfg.data.crop_size
+    dtype = jnp.dtype(cfg.compute_dtype)
+    smoothing = cfg.optim.label_smoothing
+
+    @jax.jit
+    def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, dict]:
+        rng = jax.random.fold_in(rng, state.step)
+        drop_rng, teach_rng = jax.random.split(rng)
+        video = _ingest_train(batch, crop, dtype)
+
+        def loss_fn(params):
+            out, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                video, batch["labels"], batch["labels_reverse"], train=True,
+                rngs={"dropout": drop_rng, "teacher": teach_rng},
+                mutable=["batch_stats"])
+            p_l2r, g_l2r, p_r2l, g_r2l = out
+            loss_l2r, nc_l2r = cal_performance(p_l2r, g_l2r, smoothing)
+            loss_r2l, nc_r2l = cal_performance(p_r2l, g_r2l, smoothing)
+            loss = 0.5 * (loss_l2r + loss_r2l)
+            metrics = {"loss": loss, "loss_l2r": loss_l2r,
+                       "loss_r2l": loss_r2l,
+                       "n_correct_l2r": nc_l2r, "n_correct_r2l": nc_r2l}
+            return loss, (mut["batch_stats"], metrics)
+
+        grads, (new_bs, metrics) = jax.grad(loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads, tx, new_batch_stats=new_bs)
+        return state, metrics
+
+    return train_step
+
+
+def make_sbl_eval_step(model, cfg) -> Callable:
+    crop = cfg.data.crop_size
+    dtype = jnp.dtype(cfg.compute_dtype)
+
+    @jax.jit
+    def eval_step(state: TrainState, batch):
+        video = _ingest_eval(batch, crop, dtype)
+        ys_l2r, ys_r2l = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            video, method=model.recognize)
+        return ys_l2r, ys_r2l
+
+    return eval_step
+
+
+def make_uni_train_step(model, tx, cfg) -> Callable:
+    crop = cfg.data.crop_size
+    dtype = jnp.dtype(cfg.compute_dtype)
+    smoothing = cfg.optim.label_smoothing
+
+    @jax.jit
+    def train_step(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        video = _ingest_train(batch, crop, dtype)
+
+        def loss_fn(params):
+            out, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                video, batch["labels"], train=True,
+                rngs={"dropout": rng}, mutable=["batch_stats"])
+            pred, gold = out
+            loss, n_correct = cal_performance(pred, gold, smoothing)
+            return loss, (mut["batch_stats"],
+                          {"loss": loss, "n_correct": n_correct})
+
+        grads, (new_bs, metrics) = jax.grad(loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads, tx, new_batch_stats=new_bs)
+        return state, metrics
+
+    return train_step
+
+
+def make_uni_eval_step(model, cfg) -> Callable:
+    crop = cfg.data.crop_size
+    dtype = jnp.dtype(cfg.compute_dtype)
+
+    @jax.jit
+    def eval_step(state: TrainState, batch):
+        video = _ingest_eval(batch, crop, dtype)
+        return model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            video, method=model.recognize)
+
+    return eval_step
+
+
+def make_classify_train_step(model, tx, cfg) -> Callable:
+    crop = cfg.data.crop_size
+    dtype = jnp.dtype(cfg.compute_dtype)
+    lw = cfg.language_loss_weight
+
+    @jax.jit
+    def train_step(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        video = _ingest_train(batch, crop, dtype)
+
+        def loss_fn(params):
+            out, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                video, train=True, rngs={"dropout": rng},
+                mutable=["batch_stats"])
+            word_logits, lang_logits = out
+            loss, w_ok, l_ok = classify_loss(
+                word_logits, batch["word_id"], lang_logits, batch["lang_id"],
+                language_weight=lw)
+            return loss, (mut["batch_stats"],
+                          {"loss": loss, "word_correct": w_ok,
+                           "lang_correct": l_ok})
+
+        grads, (new_bs, metrics) = jax.grad(loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads, tx, new_batch_stats=new_bs)
+        return state, metrics
+
+    return train_step
+
+
+def make_classify_eval_step(model, cfg) -> Callable:
+    crop = cfg.data.crop_size
+    dtype = jnp.dtype(cfg.compute_dtype)
+
+    @jax.jit
+    def eval_step(state: TrainState, batch):
+        video = _ingest_eval(batch, crop, dtype)
+        word_logits, lang_logits = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            video, train=False)
+        return word_logits, lang_logits
+
+    return eval_step

@@ -1,0 +1,228 @@
+"""Workload drivers: the library equivalent of the reference train.py/test.py.
+
+Reproduces the training protocol of SBL_Multilingual_Lip_reading/train.py:
+epoch loop -> train() (dual 0.5*(l2r+r2l) loss) -> valid_lrw / valid_lrw1000
+(greedy bidirectional recognize, WER+PER per direction) -> best model =
+min(l2r_wer_lrw + l2r_wer_lrw1000) (train.py:161-175), and the classify /
+LRW / LRW-1000 drivers' loops.
+
+Eval-protocol parity (test.py:185-218): predictions are truncated to
+``gold_length + 1`` tokens *before* filtering sos/eos/IGNORE, and WER is
+computed over joined phoneme strings (one "word" per clip => WER ==
+1 - exact-sequence-match rate).  The reference's quadratic list-duplication
+bug in the accumulation loop (train.py:262-276) is NOT reproduced (see
+utils/metrics.py).
+"""
+from __future__ import annotations
+
+import time
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.pipeline import Batcher, prefetch_to_device
+from ..data.transforms import make_train_plan
+from ..models import build_model
+from ..utils.logging import get_logger
+from ..utils.metrics import AverageMeter, per_compute, wer_compute
+from ..vocab import EOS_ID, IGNORE_ID, SOS_ID, TOTAL_PHONEMES
+from . import checkpoint as ckpt
+from .schedule import make_optimizer
+from .state import TrainState
+from .steps import (make_classify_eval_step, make_classify_train_step,
+                    make_sbl_eval_step, make_sbl_train_step,
+                    make_uni_eval_step, make_uni_train_step)
+
+
+def attach_plans(batch: Dict, rng: np.random.Generator, cfg,
+                 train: bool) -> Dict:
+    """Add integer augmentation plans to a raw uint8 batch."""
+    B, T = batch["clip_u8"].shape[:2]
+    raw, crop = batch["clip_u8"].shape[2], cfg.data.crop_size
+    if train:
+        plans = [make_train_plan(rng, T, raw, crop,
+                                 cfg.data.frame_removal_p) for _ in range(B)]
+        batch = dict(batch)
+        batch["offsets"] = np.stack([p.offsets for p in plans])
+        batch["flip"] = np.array([p.flip for p in plans])
+        batch["frame_map"] = np.stack([p.frame_map for p in plans])
+    return batch
+
+
+def init_state(model, cfg, rng) -> Tuple[TrainState, object]:
+    """Initialize model variables + optimizer (jitted init)."""
+    B = 2
+    S, T = cfg.data.crop_size, cfg.data.frames
+    video = jnp.zeros((B, T, S, S), jnp.float32)
+    labels = jnp.full((B, cfg.decoder.target_pad_len if cfg.decoder else 14),
+                      IGNORE_ID, jnp.int32)
+    rngs = {"params": rng, "dropout": rng, "teacher": rng}
+    if cfg.name == "classify":
+        variables = jax.jit(lambda: model.init(rngs, video, train=False))()
+    elif cfg.decoder.bidirectional:
+        variables = jax.jit(lambda: model.init(
+            rngs, video, labels, labels, train=False))()
+    else:
+        variables = jax.jit(lambda: model.init(
+            rngs, video, labels, train=False))()
+    tx = make_optimizer(cfg.optim)
+    state = TrainState.create(variables["params"],
+                              variables.get("batch_stats", {}), tx)
+    return state, tx
+
+
+def decode_to_phonemes(pred_row: Sequence[int], gold_row: Sequence[int],
+                       vocab: Sequence[str] = TOTAL_PHONEMES
+                       ) -> Tuple[List[str], List[str]]:
+    """Apply the reference eval protocol to one sample (test.py:185-212):
+    gold filtered of specials; prediction truncated to len(gold)+1 raw
+    tokens then filtered."""
+    specials = (SOS_ID, EOS_ID, IGNORE_ID)
+    golds = [vocab[i] for i in gold_row if i not in specials]
+    changdu = len(golds)
+    preds = [vocab[i] for i in list(pred_row)[:changdu + 1]
+             if i not in specials]
+    return preds, golds
+
+
+def score_batch(ys: np.ndarray, gold: np.ndarray, acc: Dict) -> None:
+    for n in range(ys.shape[0]):
+        preds, golds = decode_to_phonemes(ys[n], gold[n])
+        acc["pred_txt"].append("".join(preds))
+        acc["gold_txt"].append("".join(golds))
+        acc["pred_ph"].append(preds)
+        acc["gold_ph"].append(golds)
+
+
+def finish_scores(acc: Dict) -> Tuple[float, float]:
+    return (wer_compute(acc["pred_txt"], acc["gold_txt"]),
+            per_compute(acc["pred_ph"], acc["gold_ph"]))
+
+
+def _new_acc() -> Dict:
+    return {"pred_txt": [], "gold_txt": [], "pred_ph": [], "gold_ph": []}
+
+
+class Trainer:
+    """Config-driven trainer covering all four workloads."""
+
+    def __init__(self, cfg, train_dataset, valid_datasets: Optional[Dict] = None,
+                 checkpoint_dir: Optional[str] = None):
+        self.cfg = cfg
+        self.logger = get_logger()
+        self.model = build_model(cfg)
+        self.rng = jax.random.PRNGKey(cfg.seed)
+        self.np_rng = np.random.default_rng(cfg.seed)
+        self.state, self.tx = init_state(self.model, cfg, self.rng)
+        if cfg.name == "classify":
+            self.train_step = make_classify_train_step(self.model, self.tx, cfg)
+            self.eval_step = make_classify_eval_step(self.model, cfg)
+        elif cfg.decoder.bidirectional:
+            self.train_step = make_sbl_train_step(self.model, self.tx, cfg)
+            self.eval_step = make_sbl_eval_step(self.model, cfg)
+        else:
+            self.train_step = make_uni_train_step(self.model, self.tx, cfg)
+            self.eval_step = make_uni_eval_step(self.model, cfg)
+        self.train_dataset = train_dataset
+        self.valid_datasets = valid_datasets or {}
+        self.checkpoint_dir = checkpoint_dir
+        self.best_metric = float("inf")
+        self.epochs_since_improvement = 0
+
+    # ------------------------------------------------------------------ train
+    def train_epoch(self, epoch: int = 0, max_steps: Optional[int] = None
+                    ) -> float:
+        losses = AverageMeter()
+        batcher = Batcher(self.train_dataset, self.cfg.batch_size,
+                          shuffle=True, seed=self.cfg.seed + epoch)
+        it = (attach_plans(b, self.np_rng, self.cfg, train=True)
+              for b in batcher)
+        for i, batch in enumerate(prefetch_to_device(it)):
+            if max_steps is not None and i >= max_steps:
+                break
+            self.state, metrics = self.train_step(self.state, batch, self.rng)
+            losses.update(float(metrics["loss"]))
+            if i % 50 == 0:
+                self.logger.info(
+                    f"Epoch: [{epoch}][{i}/{len(batcher)}]\t"
+                    f"Loss {losses.val:.5f} ({losses.avg:.5f})")
+        return losses.avg
+
+    # ------------------------------------------------------------------- eval
+    def validate_seq2seq(self, dataset, max_batches: Optional[int] = None
+                         ) -> Dict[str, float]:
+        """Greedy decode + WER/PER.  For SBL returns both directions."""
+        bidi = self.cfg.decoder.bidirectional
+        acc_l2r, acc_r2l = _new_acc(), _new_acc()
+        batcher = Batcher(dataset, self.cfg.batch_size, shuffle=False)
+        for i, batch in enumerate(prefetch_to_device(iter(batcher))):
+            if max_batches is not None and i >= max_batches:
+                break
+            if bidi:
+                ys_l2r, ys_r2l = self.eval_step(self.state, batch)
+                score_batch(np.asarray(ys_l2r), np.asarray(batch["labels"]),
+                            acc_l2r)
+                score_batch(np.asarray(ys_r2l),
+                            np.asarray(batch["labels_reverse"]), acc_r2l)
+            else:
+                ys = self.eval_step(self.state, batch)
+                score_batch(np.asarray(ys), np.asarray(batch["labels"]),
+                            acc_l2r)
+        out = {}
+        out["l2r_wer"], out["l2r_per"] = finish_scores(acc_l2r)
+        if bidi:
+            out["r2l_wer"], out["r2l_per"] = finish_scores(acc_r2l)
+        return out
+
+    def validate_classify(self, dataset, max_batches: Optional[int] = None
+                          ) -> Dict[str, float]:
+        n = w_ok = l_ok = 0
+        batcher = Batcher(dataset, self.cfg.batch_size, shuffle=False)
+        for i, batch in enumerate(prefetch_to_device(iter(batcher))):
+            if max_batches is not None and i >= max_batches:
+                break
+            word_logits, lang_logits = self.eval_step(self.state, batch)
+            w_ok += int((np.argmax(np.asarray(word_logits), -1)
+                         == batch["word_id"]).sum())
+            l_ok += int((np.argmax(np.asarray(lang_logits), -1)
+                         == batch["lang_id"]).sum())
+            n += word_logits.shape[0]
+        return {"word_acc": w_ok / max(n, 1), "lang_acc": l_ok / max(n, 1)}
+
+    # -------------------------------------------------------------------- fit
+    def fit(self, epochs: int, max_steps_per_epoch: Optional[int] = None,
+            max_eval_batches: Optional[int] = None) -> Dict[str, float]:
+        last = {}
+        for epoch in range(epochs):
+            t0 = time.time()
+            loss = self.train_epoch(epoch, max_steps=max_steps_per_epoch)
+            self.logger.info(f"epoch {epoch} train_loss {loss:.4f} "
+                             f"({time.time() - t0:.1f}s)")
+            metric = loss
+            if self.cfg.name == "classify":
+                for name, ds in self.valid_datasets.items():
+                    last[name] = self.validate_classify(ds, max_eval_batches)
+                    self.logger.info(f"{name}: {last[name]}")
+                if last:
+                    metric = -sum(v["word_acc"] for v in last.values())
+            else:
+                wer_sum = 0.0
+                for name, ds in self.valid_datasets.items():
+                    last[name] = self.validate_seq2seq(ds, max_eval_batches)
+                    self.logger.info(f"{name}: {last[name]}")
+                    wer_sum += last[name]["l2r_wer"]
+                if last:
+                    # best = l2r_wer_lrw + l2r_wer_lrw1000 (train.py:165-167)
+                    metric = wer_sum
+            is_best = metric < self.best_metric
+            self.best_metric = min(metric, self.best_metric)
+            self.epochs_since_improvement = (
+                0 if is_best else self.epochs_since_improvement + 1)
+            if self.checkpoint_dir:
+                ckpt.save_checkpoint(self.checkpoint_dir, self.state,
+                                     epoch=epoch, best_metric=self.best_metric,
+                                     is_best=is_best)
+        last["train_loss"] = loss
+        return last

@@ -1,0 +1,74 @@
+import numpy as np
+import pytest
+
+import jax
+
+from sbl_for_multilingual_lip_reading_tpu import config as C
+from sbl_for_multilingual_lip_reading_tpu.data import SyntheticLipDataset
+from sbl_for_multilingual_lip_reading_tpu.training import (
+    Trainer, decode_to_phonemes)
+from sbl_for_multilingual_lip_reading_tpu.vocab import (EOS_ID, IGNORE_ID,
+                                                        SOS_ID,
+                                                        TOTAL_PHONEMES)
+
+
+def _dataset(cfg, size=8, kind="all"):
+    vocab = cfg.name if cfg.name in ("lrw", "lrw1000") else "sbl"
+    if cfg.name == "lrw":
+        kind = "lrw"
+    elif cfg.name == "lrw1000":
+        kind = "lrw1000"
+    return SyntheticLipDataset(size=size, frames=cfg.data.frames,
+                               raw_size=cfg.data.raw_size, pad_len=14,
+                               kind=kind, vocab=vocab)
+
+
+@pytest.mark.parametrize("name", ["sbl", "lrw", "classify"])
+def test_train_step_runs_and_updates(name):
+    cfg = C.tiny_test(name)
+    tr = Trainer(cfg, _dataset(cfg, size=4))
+    p0 = jax.tree_util.tree_leaves(tr.state.params)[0].copy()
+    loss = tr.train_epoch(0, max_steps=2)
+    assert np.isfinite(loss)
+    assert int(tr.state.step) == 2
+    p1 = jax.tree_util.tree_leaves(tr.state.params)[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(p1))
+
+
+def test_sbl_loss_decreases_on_fixed_batch():
+    cfg = C.tiny_test("sbl")
+    ds = _dataset(cfg, size=2)
+    tr = Trainer(cfg, ds)
+    losses = []
+    for _ in range(6):
+        losses.append(tr.train_epoch(0, max_steps=1))
+    assert losses[-1] < losses[0], losses
+
+
+def test_sbl_validate_reports_all_metrics():
+    cfg = C.tiny_test("sbl")
+    ds = _dataset(cfg, size=4)
+    tr = Trainer(cfg, ds)
+    out = tr.validate_seq2seq(ds, max_batches=1)
+    for k in ("l2r_wer", "l2r_per", "r2l_wer", "r2l_per"):
+        assert k in out and 0.0 <= out[k] <= 4.0
+
+
+def test_classify_validate():
+    cfg = C.tiny_test("classify")
+    ds = _dataset(cfg, size=4)
+    tr = Trainer(cfg, ds)
+    out = tr.validate_classify(ds, max_batches=1)
+    assert 0.0 <= out["word_acc"] <= 1.0
+    assert 0.0 <= out["lang_acc"] <= 1.0
+
+
+def test_decode_protocol_gold_length_truncation():
+    # prediction longer than gold must be cut to len(gold)+1 raw tokens
+    # before filtering (reference test.py:185-188)
+    gold = [3, 4, IGNORE_ID, IGNORE_ID]
+    pred = [SOS_ID, 3, 4, 9, 9, 9, EOS_ID]
+    preds, golds = decode_to_phonemes(pred, gold)
+    assert golds == [TOTAL_PHONEMES[3], TOTAL_PHONEMES[4]]
+    # raw truncation to 2+1=3 tokens: [sos, 3, 4] -> filtered [3, 4]
+    assert preds == [TOTAL_PHONEMES[3], TOTAL_PHONEMES[4]]
