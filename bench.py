@@ -1,0 +1,88 @@
+"""Benchmark: LRW inference clips/sec/chip on the flagship SBL model.
+
+Measures the end-to-end ``recognize`` path (greedy synchronous bidirectional
+decode) at full reference dimensions -- Conv3D+ResNet18 frontend over
+30x88x88 grayscale clips, 6-layer encoder, 6+6-layer bidirectional decoder,
+16 decode steps -- including on-device uint8 ingest (normalize + center
+crop), i.e. everything the reference's test.py does per batch after the
+DataLoader (SBL test.py:146-218).
+
+Baseline math (BASELINE.md): the reference publishes no tables; the driver
+north-star is >=3x V100 clips/sec/chip.  The model costs ~27 GFLOP per clip
+at inference (frontend ~19G, encoder ~1.2G, 16-step no-KV-cache decode ~7G).
+A V100 (15.7 TF/s fp32 peak) running the reference's eager PyTorch stack with
+a python-driven decode loop sustains ~10-15% utilization on this mix
+=> ~150 clips/s estimated reference throughput.  vs_baseline below is
+measured_clips_per_sec / 150; the 3x north-star is vs_baseline >= 3.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+V100_REFERENCE_CLIPS_PER_SEC = 150.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from sbl_for_multilingual_lip_reading_tpu import config as C
+    from sbl_for_multilingual_lip_reading_tpu.data.pipeline import device_ingest
+    from sbl_for_multilingual_lip_reading_tpu.models import build_model
+
+    cfg = C.sbl()
+    on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu:
+        # CPU smoke path: tiny model so the benchmark always completes
+        cfg = C.tiny_test("sbl")
+    model = build_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    B = 128 if on_tpu else 4
+    T, raw, crop = cfg.data.frames, cfg.data.raw_size, cfg.data.crop_size
+
+    labels = jnp.zeros((2, cfg.decoder.target_pad_len), jnp.int32)
+    init_video = jnp.zeros((2, T, crop, crop), jnp.float32)
+    variables = jax.jit(
+        lambda: model.init({"params": rng, "dropout": rng, "teacher": rng},
+                           init_video, labels, labels, train=False))()
+
+    dtype = jnp.dtype(cfg.compute_dtype)
+
+    @jax.jit
+    def recognize_batch(variables, clips_u8):
+        Bc = clips_u8.shape[0]
+        c = int(round(raw - crop) / 2.0)
+        offsets = jnp.full((Bc, T, 2), c, jnp.int32)
+        flip = jnp.zeros((Bc,), bool)
+        fmap = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (Bc, T))
+        video = device_ingest(clips_u8, offsets, flip, fmap, crop, dtype)
+        return model.apply(variables, video, method=model.recognize)
+
+    clips = jnp.asarray(
+        np.random.default_rng(0).integers(0, 256, size=(B, T, raw, raw),
+                                          dtype=np.uint8))
+    # warmup / compile
+    ys = recognize_batch(variables, clips)
+    jax.block_until_ready(ys)
+
+    iters = 20 if on_tpu else 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        ys = recognize_batch(variables, clips)
+    jax.block_until_ready(ys)
+    dt = time.perf_counter() - t0
+    clips_per_sec = B * iters / dt
+
+    print(json.dumps({
+        "metric": "lrw_inference_clips_per_sec_per_chip",
+        "value": round(clips_per_sec, 2),
+        "unit": "clips/s",
+        "vs_baseline": round(clips_per_sec / V100_REFERENCE_CLIPS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

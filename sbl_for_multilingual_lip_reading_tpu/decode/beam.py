@@ -1,0 +1,110 @@
+"""Batched vectorized beam search with optional bigram-LM bias.
+
+TPU-native replacement for the reference's python-object beam
+(VSR_seq2seq_Transformer_with_phonemes_LRW1000/transformer/decoder.py:
+131-245), which decodes ONE utterance at a time with a list-of-dicts
+hypothesis set.  Here the whole batch x beam frontier advances inside a
+single ``lax.scan``: hypotheses live in fixed-size (B, K, L) token buffers,
+expansion is one (B, K*V) top-k per step, and the per-step
+``log_softmax + log(bigram_freq[last_id])`` LM bias (decoder.py:162-191) is a
+row gather from a precomputed (V, V) table.
+
+Semantics: finished hypotheses (emitted eos) are frozen -- they compete in
+the frontier with unchanged score and can only extend with eos at zero cost,
+mirroring the reference's ended_hyps retirement.  After maxlen steps every
+hypothesis is eos-terminated (the reference force-appends eos at maxlen,
+decoder.py:197-201).
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..vocab import EOS_ID, SOS_ID
+
+Array = jnp.ndarray
+NEG_INF = -1e9
+
+
+def beam_search(step_fn: Callable[[Array, Array], Array],
+                enc_output: Array, beam_size: int, maxlen: int,
+                vocab_size: int,
+                bigram_logp: Optional[Array] = None,
+                eos_id: int = EOS_ID, sos_id: int = SOS_ID
+                ) -> Tuple[Array, Array]:
+    """Run beam search.
+
+    step_fn(ys, step) -> (N, V) logits for the token at position ``step``
+        given token buffers ys (N, L); N = B*K (the closure carries the
+        pre-tiled encoder outputs).
+    enc_output: (B, T, D) -- used only for batch size derivation here.
+    bigram_logp: optional (V, V) log-bias table, row = last token id.
+
+    Returns (tokens (B, K, L) with leading sos, scores (B, K)), sorted by
+    score descending along K.
+    """
+    B = enc_output.shape[0]
+    K, V, L = beam_size, vocab_size, maxlen + 1
+
+    tokens0 = jnp.full((B, K, L), sos_id, jnp.int32)
+    # only hypothesis 0 is live initially so the first expansion yields K
+    # distinct continuations
+    scores0 = jnp.where(jnp.arange(K) == 0, 0.0, NEG_INF)[None, :].repeat(B, 0)
+    finished0 = jnp.zeros((B, K), bool)
+
+    def body(carry, step):
+        tokens, scores, finished = carry
+        logits = step_fn(tokens.reshape(B * K, L), step).reshape(B, K, V)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        if bigram_logp is not None:
+            last = jnp.take_along_axis(tokens, jnp.full((B, K, 1), 0, jnp.int32)
+                                       + step, axis=2)[..., 0]
+            logp = logp + bigram_logp[last]
+        # finished hyps: freeze score, only eos continuation allowed
+        eos_only = jnp.full((V,), NEG_INF).at[eos_id].set(0.0)
+        logp = jnp.where(finished[..., None], eos_only[None, None, :], logp)
+        cand = scores[..., None] + logp                      # (B, K, V)
+        flat = cand.reshape(B, K * V)
+        new_scores, idx = jax.lax.top_k(flat, K)             # (B, K)
+        parent = idx // V
+        tok = (idx % V).astype(jnp.int32)
+        tokens = jnp.take_along_axis(tokens, parent[..., None], axis=1)
+        tokens = jax.lax.dynamic_update_slice_in_dim(
+            tokens, tok[..., None], step + 1, axis=2)
+        finished = jnp.take_along_axis(finished, parent, axis=1) | (tok == eos_id)
+        return (tokens, new_scores, finished), None
+
+    (tokens, scores, finished), _ = jax.lax.scan(
+        body, (tokens0, scores0, finished0),
+        jnp.arange(maxlen, dtype=jnp.int32))
+    order = jnp.argsort(-scores, axis=1)
+    tokens = jnp.take_along_axis(tokens, order[..., None], axis=1)
+    scores = jnp.take_along_axis(scores, order, axis=1)
+    return tokens, scores
+
+
+def make_uni_beam_decoder(model, beam_size: int = 5,
+                          bigram_logp=None) -> Callable:
+    """Jitted batched beam decode for a UniTransformer: video -> (tokens
+    (B, K, L), scores (B, K))."""
+
+    @jax.jit
+    def decode(variables, video):
+        enc = model.apply(variables, video, method=model.encode)
+        K = beam_size
+        B, T, D = enc.shape
+        enc_tiled = jnp.repeat(enc, K, axis=0)               # (B*K, T, D)
+        dec = model.decoder
+
+        def step_fn(ys, step):
+            return model.apply(
+                variables, ys, enc_tiled, step,
+                method=lambda m, ys_, enc_, s_: m.decoder.step_logits(
+                    ys_, enc_, s_))
+
+        return beam_search(step_fn, enc, K, dec.maxlen, dec.vocab_size,
+                           bigram_logp=bigram_logp)
+
+    return decode
