@@ -28,8 +28,8 @@ def save_checkpoint(path: str, state, epoch: int = 0,
         "batch_stats": state.batch_stats,
         "opt_state": state.opt_state,
         "step": state.step,
-        "meta": {"epoch": np.int32(epoch),
-                 "best_metric": np.float32(best_metric)},
+        "meta": {"epoch": np.array(epoch, np.int32),
+                 "best_metric": np.array(best_metric, np.float32)},
     }
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(os.path.abspath(path), payload, force=True)
@@ -47,7 +47,8 @@ def restore_checkpoint(path: str, state) -> Tuple[Any, int, float]:
         "batch_stats": state.batch_stats,
         "opt_state": state.opt_state,
         "step": state.step,
-        "meta": {"epoch": np.int32(0), "best_metric": np.float32(0)},
+        "meta": {"epoch": np.array(0, np.int32),
+                 "best_metric": np.array(0, np.float32)},
     }
     ckptr = ocp.StandardCheckpointer()
     restored = ckptr.restore(os.path.abspath(path), template)
