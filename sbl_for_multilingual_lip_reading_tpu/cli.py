@@ -1,0 +1,188 @@
+"""Command-line drivers: the reference's train.py / test.py surface.
+
+One CLI covers the four sub-projects the reference ships as separate
+directories.  Flags mirror ``parse_args`` (reference utils.py:78-146) where
+they still make sense; dataset roots come from DataConfig; ``--synthetic``
+runs every workload end-to-end without the licensed datasets.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+from typing import Optional
+
+from . import config as C
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="SBL multilingual lip reading (TPU)")
+    p.add_argument("--workload", default="sbl",
+                   choices=sorted(C.PRESETS.keys()))
+    # network architecture (reference utils.py:91-116)
+    p.add_argument("--n_layers_enc", type=int, default=None)
+    p.add_argument("--n_layers_dec", type=int, default=None)
+    p.add_argument("--n_head", type=int, default=None)
+    p.add_argument("--d_model", type=int, default=None)
+    p.add_argument("--d_inner", type=int, default=None)
+    p.add_argument("--dropout", type=float, default=None)
+    p.add_argument("--pe_maxlen", type=int, default=None)
+    p.add_argument("--label_smoothing", type=float, default=None)
+    # training (reference utils.py:118-146)
+    p.add_argument("--epochs", type=int, default=10000)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--k", type=float, default=None, help="Noam lr scale")
+    p.add_argument("--warmup_steps", type=int, default=None)
+    p.add_argument("--teacher_forcing_rate", type=float, default=None)
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="checkpoint dir to resume/eval from")
+    p.add_argument("--transfer-from", type=str, default=None,
+                   help="partial-load (path+shape filtered) from this "
+                        "checkpoint, e.g. classify stage -> SBL")
+    p.add_argument("--save-dir", type=str, default="checkpoints/run")
+    # data
+    p.add_argument("--synthetic", action="store_true",
+                   help="use the synthetic dataset (no LRW/LRW-1000 needed)")
+    p.add_argument("--synthetic-size", type=int, default=256)
+    p.add_argument("--lrw-path", type=str, default=None)
+    p.add_argument("--lrw1000-images", type=str, default=None)
+    p.add_argument("--lrw1000-manifest", type=str, default=None)
+    p.add_argument("--data-fraction", type=float, default=None,
+                   help="reference config.py `p`")
+    # parallelism
+    p.add_argument("--mesh-data", type=int, default=1)
+    p.add_argument("--mesh-model", type=int, default=1)
+    p.add_argument("--compute-dtype", type=str, default=None)
+    p.add_argument("--max-steps-per-epoch", type=int, default=None)
+    p.add_argument("--max-eval-batches", type=int, default=None)
+    return p
+
+
+def config_from_args(args) -> C.WorkloadConfig:
+    cfg = C.PRESETS[args.workload]()
+    dims = cfg.dims
+    dim_over = {}
+    for field, flag in [("n_enc_layers", "n_layers_enc"),
+                        ("n_dec_layers", "n_layers_dec"),
+                        ("n_head", "n_head"), ("d_model", "d_model"),
+                        ("d_inner", "d_inner"), ("dropout", "dropout"),
+                        ("pe_maxlen", "pe_maxlen")]:
+        v = getattr(args, flag)
+        if v is not None:
+            dim_over[field] = v
+    if dim_over:
+        if "d_model" in dim_over:
+            d = dim_over["d_model"]
+            dim_over.setdefault("d_k", d // dims.n_head)
+            dim_over.setdefault("d_v", d // dims.n_head)
+        dims = dataclasses.replace(dims, **dim_over)
+    optim = cfg.optim
+    opt_over = {}
+    if args.label_smoothing is not None:
+        opt_over["label_smoothing"] = args.label_smoothing
+    if args.k is not None:
+        opt_over["k"] = args.k
+    if args.warmup_steps is not None:
+        opt_over["warmup_steps"] = args.warmup_steps
+    if opt_over:
+        optim = dataclasses.replace(optim, **opt_over)
+    decoder = cfg.decoder
+    if decoder is not None and args.teacher_forcing_rate is not None:
+        decoder = dataclasses.replace(
+            decoder, teacher_forcing_rate=args.teacher_forcing_rate)
+    data = cfg.data
+    data_over = {}
+    if args.lrw_path:
+        data_over["lrw_path"] = args.lrw_path
+    if args.lrw1000_images:
+        data_over["lrw1000_images"] = args.lrw1000_images
+    if args.data_fraction is not None:
+        data_over["data_fraction"] = args.data_fraction
+    if data_over:
+        data = dataclasses.replace(data, **data_over)
+    over = dict(dims=dims, optim=optim, decoder=decoder, data=data,
+                mesh=C.MeshConfig(data=args.mesh_data, model=args.mesh_model))
+    if args.batch_size is not None:
+        over["batch_size"] = args.batch_size
+    if args.compute_dtype is not None:
+        over["compute_dtype"] = args.compute_dtype
+    return dataclasses.replace(cfg, **over)
+
+
+def make_datasets(cfg, args, split: str = "train"):
+    from .data import SyntheticLipDataset
+    vocab = cfg.name if cfg.name in ("lrw", "lrw1000") else "sbl"
+    if args.synthetic or not (args.lrw_path or args.lrw1000_manifest):
+        kind = {"sbl": "all", "classify": "all", "lrw": "lrw",
+                "lrw1000": "lrw1000"}[cfg.name]
+        train = SyntheticLipDataset(size=args.synthetic_size,
+                                    frames=cfg.data.frames,
+                                    raw_size=cfg.data.raw_size, kind=kind,
+                                    vocab=vocab)
+        valid = {}
+        if kind in ("all", "lrw"):
+            valid["lrw"] = SyntheticLipDataset(
+                size=max(args.synthetic_size // 4, 4),
+                frames=cfg.data.frames, raw_size=cfg.data.raw_size,
+                kind="lrw", vocab=vocab, seed=1)
+        if kind in ("all", "lrw1000"):
+            valid["lrw1000"] = SyntheticLipDataset(
+                size=max(args.synthetic_size // 4, 4),
+                frames=cfg.data.frames, raw_size=cfg.data.raw_size,
+                kind="lrw1000", vocab=vocab, seed=2)
+        return train, valid
+    from .data import LrwDataset, Lrw1000Dataset, MixedBilingualDataset
+    parts = []
+    valid = {}
+    if args.lrw_path:
+        parts.append(LrwDataset(args.lrw_path, split,
+                                frames=cfg.data.frames,
+                                data_fraction=cfg.data.data_fraction))
+        valid["lrw"] = LrwDataset(args.lrw_path, "val",
+                                  frames=cfg.data.frames)
+    if args.lrw1000_manifest:
+        parts.append(Lrw1000Dataset(args.lrw1000_images,
+                                    args.lrw1000_manifest,
+                                    frames=cfg.data.frames,
+                                    raw_size=cfg.data.raw_size))
+    train = parts[0] if len(parts) == 1 else MixedBilingualDataset(*parts)
+    return train, valid
+
+
+def run_train(argv=None) -> None:
+    args = build_argparser().parse_args(argv)
+    cfg = config_from_args(args)
+    from .training import Trainer, checkpoint as ckpt
+    train_ds, valid_ds = make_datasets(cfg, args)
+    tr = Trainer(cfg, train_ds, valid_ds, checkpoint_dir=args.save_dir)
+    if args.transfer_from:
+        tr.state, _ = ckpt.restore_for_transfer(args.transfer_from, tr.state)
+    elif args.checkpoint and os.path.isdir(args.checkpoint):
+        tr.state, epoch, best = ckpt.restore_checkpoint(args.checkpoint,
+                                                        tr.state)
+        tr.best_metric = best
+    tr.fit(args.epochs, max_steps_per_epoch=args.max_steps_per_epoch,
+           max_eval_batches=args.max_eval_batches)
+
+
+def run_test(argv=None) -> None:
+    """Evaluation driver (reference test.py): load checkpoint, run
+    valid_lrw / valid_lrw1000, print per-direction WER/PER."""
+    args = build_argparser().parse_args(argv)
+    cfg = config_from_args(args)
+    from .training import Trainer, checkpoint as ckpt
+    _, valid_ds = make_datasets(cfg, args, split="test")
+    tr = Trainer(cfg, SyntheticPlaceholder(), valid_ds)
+    if args.checkpoint:
+        tr.state, _, _ = ckpt.restore_checkpoint(args.checkpoint, tr.state)
+    for name, ds in valid_ds.items():
+        if cfg.name == "classify":
+            out = tr.validate_classify(ds, args.max_eval_batches)
+        else:
+            out = tr.validate_seq2seq(ds, args.max_eval_batches)
+        print(name, out)
+
+
+class SyntheticPlaceholder:
+    def __len__(self):
+        return 0
