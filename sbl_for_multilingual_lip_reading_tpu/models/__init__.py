@@ -15,7 +15,8 @@ def build_model(cfg):
     dtype = jnp.dtype(cfg.compute_dtype)
     frontend = frontend_from_config(cfg.frontend, dtype=dtype)
     encoder = encoder_from_config(cfg.dims, d_input=cfg.frontend.feature_dim,
-                                  dtype=dtype)
+                                  dtype=dtype,
+                                  use_pallas=cfg.use_pallas_attention)
     if cfg.name == "classify":
         return ClassifyTransformer(frontend, encoder,
                                    num_word_classes=cfg.num_word_classes,
@@ -29,12 +30,14 @@ def build_model(cfg):
             d_k=cfg.dims.d_k, d_v=cfg.dims.d_v, d_inner=cfg.dims.d_inner,
             dropout=cfg.dims.dropout, pe_maxlen=cfg.dims.pe_maxlen,
             maxlen=d.maxlen, fusion_mode=d.fusion_mode,
-            teacher_forcing_rate=d.teacher_forcing_rate, dtype=dtype)
+            teacher_forcing_rate=d.teacher_forcing_rate, dtype=dtype,
+            use_pallas=cfg.use_pallas_attention)
         return SBLTransformer(frontend, encoder, decoder)
     decoder = UniDecoder(
         vocab_size=d.vocab_size, d_model=cfg.dims.d_model,
         n_layers=cfg.dims.n_dec_layers, n_head=cfg.dims.n_head,
         d_k=cfg.dims.d_k, d_v=cfg.dims.d_v, d_inner=cfg.dims.d_inner,
         dropout=cfg.dims.dropout, pe_maxlen=cfg.dims.pe_maxlen,
-        maxlen=d.maxlen, tie_embedding=d.tie_embedding, dtype=dtype)
+        maxlen=d.maxlen, tie_embedding=d.tie_embedding, dtype=dtype,
+        use_pallas=cfg.use_pallas_attention)
     return UniTransformer(frontend, encoder, decoder)

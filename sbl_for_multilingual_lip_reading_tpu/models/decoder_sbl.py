@@ -99,6 +99,7 @@ class _SBLStep(nn.Module):
     pe_maxlen: int
     fusion_mode: str
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, carry, enc_output, deterministic, xs):
@@ -131,7 +132,7 @@ class _SBLStep(nn.Module):
         def dec_layer(name):
             return DecoderLayer(self.d_model, self.d_inner, self.n_head,
                                 self.d_k, self.d_v, self.dropout, self.dtype,
-                                name=name)
+                                self.use_pallas, name=name)
 
         h_l2r = dec_layer("layer_first_l2r")(
             h_l2r, enc_output, slf_attn_mask=first_mask,
@@ -189,6 +190,7 @@ class SBLDecoder(nn.Module):
     fusion_mode: str = "symmetric"
     teacher_forcing_rate: float = 0.5
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     def setup(self):
         scan_cls = nn.scan(
@@ -201,7 +203,7 @@ class SBLDecoder(nn.Module):
         self.step = scan_cls(
             self.vocab_size, self.d_model, self.n_layers, self.n_head,
             self.d_k, self.d_v, self.d_inner, self.dropout, self.pe_maxlen,
-            self.fusion_mode, self.dtype)
+            self.fusion_mode, self.dtype, self.use_pallas)
 
     def _run(self, enc_output: Array, gold_l2r: Array, gold_r2l: Array,
              use_gold: Array, deterministic: bool):

@@ -70,6 +70,7 @@ class UniDecoder(nn.Module):
     maxlen: int = 14
     tie_embedding: bool = True
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     def setup(self):
         self.tgt_word_emb = nn.Embed(
@@ -79,7 +80,7 @@ class UniDecoder(nn.Module):
         self.emb_drop = nn.Dropout(self.dropout)
         self.layers = [
             DecoderLayer(self.d_model, self.d_inner, self.n_head, self.d_k,
-                         self.d_v, self.dropout, self.dtype)
+                         self.d_v, self.dropout, self.dtype, self.use_pallas)
             for i in range(self.n_layers)
         ]
         if not self.tie_embedding:

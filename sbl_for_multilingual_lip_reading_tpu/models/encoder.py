@@ -29,6 +29,7 @@ class Encoder(nn.Module):
     dropout: float = 0.1
     pe_maxlen: int = 5000
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: Array, lengths: Optional[Array] = None,
@@ -53,14 +54,16 @@ class Encoder(nn.Module):
         for i in range(self.n_layers):
             h = EncoderLayer(self.d_model, self.d_inner, self.n_head,
                              self.d_k, self.d_v, self.dropout, self.dtype,
-                             name=f"layer_{i}")(
+                             self.use_pallas, name=f"layer_{i}")(
                 h, non_pad_mask=non_pad, slf_attn_mask=slf_mask,
                 deterministic=deterministic)
         return h
 
 
-def encoder_from_config(dims, d_input: int = 512, dtype=jnp.float32) -> Encoder:
+def encoder_from_config(dims, d_input: int = 512, dtype=jnp.float32,
+                        use_pallas: bool = False) -> Encoder:
     return Encoder(d_input=d_input, n_layers=dims.n_enc_layers,
                    n_head=dims.n_head, d_k=dims.d_k, d_v=dims.d_v,
                    d_model=dims.d_model, d_inner=dims.d_inner,
-                   dropout=dims.dropout, pe_maxlen=dims.pe_maxlen, dtype=dtype)
+                   dropout=dims.dropout, pe_maxlen=dims.pe_maxlen, dtype=dtype,
+                   use_pallas=use_pallas)

@@ -51,6 +51,7 @@ class MultiHeadAttention(nn.Module):
     d_v: int
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False  # fused VMEM attention kernel (TPU only)
 
     @nn.compact
     def __call__(self, q: Array, k: Array, v: Array,
@@ -76,16 +77,34 @@ class MultiHeadAttention(nn.Module):
         vh = wv(v).reshape(B, Tk, h, d_v)
 
         scale = 1.0 / np.sqrt(d_k)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
-                            preferred_element_type=jnp.float32) * scale
-        if mask is not None:
-            logits = jnp.where(mask[:, None, :, :], _MASK_FILL, logits)
-        attn = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
-        attn = nn.Dropout(self.dropout, name="attn_drop")(
-            attn, deterministic=deterministic)
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, vh,
-                         preferred_element_type=jnp.float32).astype(self.dtype)
-        ctx = ctx.reshape(B, Tq, h * d_v)
+        use_pallas = self.use_pallas and (deterministic or self.dropout == 0.0)
+        if use_pallas:
+            # fused VMEM kernel (no attention-prob dropout path)
+            from ..ops.attention import available, fused_mha
+            if available():
+                bias = None
+                if mask is not None:
+                    bias = jnp.where(jnp.broadcast_to(mask, (B, Tq, Tk)),
+                                     _MASK_FILL, 0.0).astype(jnp.float32)[:, None]
+                ctx = fused_mha(jnp.transpose(qh, (0, 2, 1, 3)),
+                                jnp.transpose(kh, (0, 2, 1, 3)),
+                                jnp.transpose(vh, (0, 2, 1, 3)),
+                                bias=bias, scale=scale)
+                ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(B, Tq, h * d_v)
+            else:
+                use_pallas = False
+        if not use_pallas:
+            logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
+                                preferred_element_type=jnp.float32) * scale
+            if mask is not None:
+                logits = jnp.where(mask[:, None, :, :], _MASK_FILL, logits)
+            attn = nn.softmax(logits.astype(jnp.float32),
+                              axis=-1).astype(self.dtype)
+            attn = nn.Dropout(self.dropout, name="attn_drop")(
+                attn, deterministic=deterministic)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, vh,
+                             preferred_element_type=jnp.float32).astype(self.dtype)
+            ctx = ctx.reshape(B, Tq, h * d_v)
         out = out_proj(ctx)
         out = nn.Dropout(self.dropout, name="out_drop")(
             out, deterministic=deterministic)
@@ -122,13 +141,15 @@ class EncoderLayer(nn.Module):
     d_v: int
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: Array, non_pad_mask: Optional[Array] = None,
                  slf_attn_mask: Optional[Array] = None,
                  deterministic: bool = True) -> Array:
         x = MultiHeadAttention(self.d_model, self.n_head, self.d_k, self.d_v,
-                               self.dropout, self.dtype, name="slf_attn")(
+                               self.dropout, self.dtype, self.use_pallas,
+                               name="slf_attn")(
             x, x, x, mask=slf_attn_mask, deterministic=deterministic)
         if non_pad_mask is not None:
             x = x * non_pad_mask.astype(x.dtype)
@@ -148,6 +169,7 @@ class DecoderLayer(nn.Module):
     d_v: int
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: Array, enc_output: Array,
@@ -156,12 +178,14 @@ class DecoderLayer(nn.Module):
                  dec_enc_attn_mask: Optional[Array] = None,
                  deterministic: bool = True) -> Array:
         x = MultiHeadAttention(self.d_model, self.n_head, self.d_k, self.d_v,
-                               self.dropout, self.dtype, name="slf_attn")(
+                               self.dropout, self.dtype, self.use_pallas,
+                               name="slf_attn")(
             x, x, x, mask=slf_attn_mask, deterministic=deterministic)
         if non_pad_mask is not None:
             x = x * non_pad_mask.astype(x.dtype)
         x = MultiHeadAttention(self.d_model, self.n_head, self.d_k, self.d_v,
-                               self.dropout, self.dtype, name="enc_attn")(
+                               self.dropout, self.dtype, self.use_pallas,
+                               name="enc_attn")(
             x, enc_output, enc_output, mask=dec_enc_attn_mask,
             deterministic=deterministic)
         if non_pad_mask is not None:

@@ -1,0 +1,51 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sbl_for_multilingual_lip_reading_tpu.ops.attention import (
+    fused_mha, mask_to_bias)
+from sbl_for_multilingual_lip_reading_tpu.ops import masks as M
+
+
+def _xla_reference(q, k, v, bias=None):
+    scale = 1.0 / np.sqrt(q.shape[-1])
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    if bias is not None:
+        s = s + bias
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+def test_fused_mha_matches_xla():
+    rng = jax.random.PRNGKey(0)
+    q, k, v = (jax.random.normal(jax.random.fold_in(rng, i), (2, 4, 8, 16))
+               for i in range(3))
+    out = fused_mha(q, k, v, interpret=True)
+    expect = _xla_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                               atol=1e-5)
+
+
+def test_fused_mha_with_causal_bias():
+    rng = jax.random.PRNGKey(1)
+    q, k, v = (jax.random.normal(jax.random.fold_in(rng, i), (2, 4, 8, 16))
+               for i in range(3))
+    mask = jnp.broadcast_to(M.causal_mask(8)[None], (2, 8, 8))
+    bias = mask_to_bias(mask)
+    out = fused_mha(q, k, v, bias=bias, interpret=True)
+    expect = _xla_reference(q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                               atol=1e-5)
+    # causality: row 0 only attends key 0 => out[...,0,:] == v[...,0,:]
+    np.testing.assert_allclose(np.asarray(out[:, :, 0]),
+                               np.asarray(v[:, :, 0]), atol=1e-5)
+
+
+def test_fused_mha_cross_attention_lengths():
+    rng = jax.random.PRNGKey(2)
+    q = jax.random.normal(rng, (1, 2, 5, 16))
+    k = jax.random.normal(jax.random.fold_in(rng, 1), (1, 2, 9, 16))
+    v = jax.random.normal(jax.random.fold_in(rng, 2), (1, 2, 9, 16))
+    out = fused_mha(q, k, v, interpret=True)
+    expect = _xla_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect), atol=1e-5)
