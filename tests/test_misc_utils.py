@@ -1,0 +1,64 @@
+import json
+import os
+
+import numpy as np
+
+from sbl_for_multilingual_lip_reading_tpu.data import (Batcher,
+                                                       SyntheticLipDataset,
+                                                       TwoStreamBatchSampler)
+from sbl_for_multilingual_lip_reading_tpu.utils.profiler import StepTimer
+from sbl_for_multilingual_lip_reading_tpu.data.manifest import (
+    build_vocab_pickle)
+
+
+def test_batcher_with_two_stream_sampler():
+    """The classify workload's fixed-ratio bilingual batches
+    (reference classify/train.py batch_sampler usage)."""
+    ds = SyntheticLipDataset(size=20, frames=2, raw_size=8)
+    lrw_idx = [i for i in range(20) if ds[i]["lang_id"] == 0]
+    lrw1000_idx = [i for i in range(20) if ds[i]["lang_id"] == 1]
+    sampler = TwoStreamBatchSampler(lrw_idx, lrw1000_idx, batch_size=4,
+                                    secondary_batch_size=2, seed=0)
+    batches = list(Batcher(ds, 4, sampler=sampler))
+    assert len(batches) == len(sampler)
+    for b in batches:
+        assert (np.asarray(b["lang_id"]) == 0).sum() == 2
+        assert (np.asarray(b["lang_id"]) == 1).sum() == 2
+
+
+def test_step_timer():
+    t = StepTimer(batch_size=10)
+    for _ in range(3):
+        with t.step():
+            pass
+    assert t.mean_step_time >= 0
+    assert t.clips_per_sec > 0
+
+
+def test_summary_writer_jsonl_fallback(tmp_path, monkeypatch):
+    # force the JSONL path by making the tf import fail
+    import builtins
+    real_import = builtins.__import__
+
+    def fake_import(name, *a, **k):
+        if name == "tensorflow":
+            raise ImportError("nope")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", fake_import)
+    from sbl_for_multilingual_lip_reading_tpu.utils.tensorboard import (
+        SummaryWriter)
+    w = SummaryWriter(str(tmp_path))
+    w.add_scalar("loss", 1.5, 3)
+    w.close()
+    line = json.loads(open(os.path.join(tmp_path,
+                                        "metrics.jsonl")).readline())
+    assert line["tag"] == "loss" and line["value"] == 1.5 and line["step"] == 3
+
+
+def test_build_vocab_pickle(tmp_path):
+    out = tmp_path / "vocab.json"
+    data = build_vocab_pickle(["abc", "abd"], str(out))
+    assert data["VOCAB"]["<sos>"] == 0 and data["VOCAB"]["<eos>"] == 1
+    assert set("abcd") <= set(data["VOCAB"])
+    assert json.load(open(out))["VOCAB"]["a"] == data["VOCAB"]["a"]
