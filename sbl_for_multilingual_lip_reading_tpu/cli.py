@@ -55,6 +55,14 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--compute-dtype", type=str, default=None)
     p.add_argument("--max-steps-per-epoch", type=int, default=None)
     p.add_argument("--max-eval-batches", type=int, default=None)
+    # decoding (reference args.beam_size / nbest / decode_max_len -- vestigial
+    # there, functional here)
+    p.add_argument("--beam-size", type=int, default=None,
+                   help="beam search width for unidirectional eval "
+                        "(default: greedy)")
+    p.add_argument("--bigram-lm", action="store_true",
+                   help="bias beam search with a bigram LM built from the "
+                        "train labels (LRW-1000 protocol)")
     return p
 
 
@@ -171,15 +179,23 @@ def run_test(argv=None) -> None:
     args = build_argparser().parse_args(argv)
     cfg = config_from_args(args)
     from .training import Trainer, checkpoint as ckpt
-    _, valid_ds = make_datasets(cfg, args, split="test")
+    train_ds, valid_ds = make_datasets(cfg, args, split="test")
     tr = Trainer(cfg, SyntheticPlaceholder(), valid_ds)
     if args.checkpoint:
         tr.state, _, _ = ckpt.restore_checkpoint(args.checkpoint, tr.state)
+    bigram_logp = None
+    if args.bigram_lm and cfg.decoder and not cfg.decoder.bidirectional:
+        import jax.numpy as jnp
+        from .decode import bigram_from_dataset
+        big = bigram_from_dataset(train_ds, cfg.decoder.vocab_size)
+        bigram_logp = jnp.log(jnp.asarray(big) + 1e-10)
     for name, ds in valid_ds.items():
         if cfg.name == "classify":
             out = tr.validate_classify(ds, args.max_eval_batches)
         else:
-            out = tr.validate_seq2seq(ds, args.max_eval_batches)
+            out = tr.validate_seq2seq(ds, args.max_eval_batches,
+                                      beam_size=args.beam_size,
+                                      bigram_logp=bigram_logp)
         print(name, out)
 
 

@@ -105,6 +105,14 @@ def _new_acc() -> Dict:
     return {"pred_txt": [], "gold_txt": [], "pred_ph": [], "gold_ph": []}
 
 
+def _eval_video(batch: Dict, cfg) -> jnp.ndarray:
+    """Center-crop eval ingest outside the jitted eval step (for decode
+    paths that take pre-normalized video, e.g. beam search)."""
+    from .steps import _ingest_eval
+    return _ingest_eval(batch, cfg.data.crop_size,
+                        jnp.dtype(cfg.compute_dtype))
+
+
 class Trainer:
     """Config-driven trainer covering all four workloads."""
 
@@ -151,10 +159,19 @@ class Trainer:
         return losses.avg
 
     # ------------------------------------------------------------------- eval
-    def validate_seq2seq(self, dataset, max_batches: Optional[int] = None
-                         ) -> Dict[str, float]:
-        """Greedy decode + WER/PER.  For SBL returns both directions."""
+    def validate_seq2seq(self, dataset, max_batches: Optional[int] = None,
+                         beam_size: Optional[int] = None,
+                         bigram_logp=None) -> Dict[str, float]:
+        """Greedy decode + WER/PER.  For SBL returns both directions.
+        With ``beam_size`` (unidirectional workloads only), uses batched
+        beam search, optionally biased by a (V, V) bigram log table -- the
+        LRW-1000 eval path (reference decoder.py:131-245)."""
         bidi = self.cfg.decoder.bidirectional
+        beam_fn = None
+        if beam_size is not None and not bidi:
+            from ..decode.beam import make_uni_beam_decoder
+            beam_fn = make_uni_beam_decoder(self.model, beam_size,
+                                            bigram_logp=bigram_logp)
         acc_l2r, acc_r2l = _new_acc(), _new_acc()
         batcher = Batcher(dataset, self.cfg.batch_size, shuffle=False)
         for i, batch in enumerate(prefetch_to_device(iter(batcher))):
@@ -166,6 +183,13 @@ class Trainer:
                             acc_l2r)
                 score_batch(np.asarray(ys_r2l),
                             np.asarray(batch["labels_reverse"]), acc_r2l)
+            elif beam_fn is not None:
+                video = _eval_video(batch, self.cfg)
+                tokens, _ = beam_fn(
+                    {"params": self.state.params,
+                     "batch_stats": self.state.batch_stats}, video)
+                score_batch(np.asarray(tokens[:, 0]),
+                            np.asarray(batch["labels"]), acc_l2r)
             else:
                 ys = self.eval_step(self.state, batch)
                 score_batch(np.asarray(ys), np.asarray(batch["labels"]),
