@@ -114,6 +114,9 @@ class WorkloadConfig:
     num_languages: int = 2
     language_loss_weight: float = 0.1
     use_pallas_attention: bool = False
+    # rematerialize ResNet blocks in backward (activation-memory saver for
+    # the reference's batch-240 recipe on a 16 GB chip)
+    remat_frontend: bool = True
 
 
 def sbl() -> WorkloadConfig:

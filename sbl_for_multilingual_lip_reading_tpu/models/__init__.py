@@ -13,7 +13,8 @@ from .classify import ClassifyTransformer
 def build_model(cfg):
     """Construct the model for a WorkloadConfig."""
     dtype = jnp.dtype(cfg.compute_dtype)
-    frontend = frontend_from_config(cfg.frontend, dtype=dtype)
+    frontend = frontend_from_config(cfg.frontend, dtype=dtype,
+                                    remat=cfg.remat_frontend)
     encoder = encoder_from_config(cfg.dims, d_input=cfg.frontend.feature_dim,
                                   dtype=dtype,
                                   use_pallas=cfg.use_pallas_attention)

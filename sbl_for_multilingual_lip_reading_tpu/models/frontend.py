@@ -71,21 +71,29 @@ class BasicBlock(nn.Module):
 
 class ResNetTrunk(nn.Module):
     """Stemless ResNet-18 trunk (reference video_frontend.py:44-89): four
-    stages at strides 1/2/2/2, global average pool to the feature dim."""
+    stages at strides 1/2/2/2, global average pool to the feature dim.
+
+    ``remat`` rematerializes each block in the backward pass
+    (jax.checkpoint) -- trades ~30% frontend FLOPs for O(depth) less
+    activation HBM, which is what lets the reference's batch-240 recipe fit
+    a single 16 GB chip."""
     channels: Sequence[int] = (64, 128, 256, 512)
     blocks: Sequence[int] = (2, 2, 2, 2)
     bn_momentum: float = 0.9
     bn_epsilon: float = 1e-5
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
+        block_cls = nn.remat(BasicBlock, static_argnums=(2,)) if self.remat \
+            else BasicBlock
         for stage, (ch, nblocks) in enumerate(zip(self.channels, self.blocks)):
             for b in range(nblocks):
                 stride = 2 if (stage > 0 and b == 0) else 1
-                x = BasicBlock(ch, stride, self.bn_momentum, self.bn_epsilon,
-                               self.dtype, name=f"layer{stage + 1}_block{b}")(
-                    x, train=train)
+                x = block_cls(ch, stride, self.bn_momentum, self.bn_epsilon,
+                              self.dtype, name=f"layer{stage + 1}_block{b}")(
+                    x, train)
         return jnp.mean(x, axis=(1, 2))  # AdaptiveAvgPool2d(1)
 
 
@@ -99,6 +107,7 @@ class VisualFrontend(nn.Module):
     bn_momentum: float = 0.9
     bn_epsilon: float = 1e-5
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False,
@@ -120,13 +129,14 @@ class VisualFrontend(nn.Module):
         x = x.reshape(B * T, H, W, C)
         x = ResNetTrunk(self.resnet_channels, self.resnet_blocks,
                         self.bn_momentum, self.bn_epsilon, self.dtype,
-                        name="resnet")(x, train=train)
+                        self.remat, name="resnet")(x, train=train)
         x = nn.Dropout(self.dropout, name="feat_drop")(
             x, deterministic=deterministic)
         return x.reshape(B, T, self.feature_dim)
 
 
-def frontend_from_config(cfg, dtype=jnp.float32) -> VisualFrontend:
+def frontend_from_config(cfg, dtype=jnp.float32,
+                         remat: bool = False) -> VisualFrontend:
     return VisualFrontend(
         conv3d_channels=cfg.conv3d_channels,
         resnet_channels=tuple(cfg.resnet_channels),
@@ -136,4 +146,5 @@ def frontend_from_config(cfg, dtype=jnp.float32) -> VisualFrontend:
         bn_momentum=cfg.bn_momentum,
         bn_epsilon=cfg.bn_epsilon,
         dtype=dtype,
+        remat=remat,
     )
