@@ -117,6 +117,9 @@ class WorkloadConfig:
     # rematerialize ResNet blocks in backward (activation-memory saver for
     # the reference's batch-240 recipe on a 16 GB chip)
     remat_frontend: bool = True
+    # zero gradients for these top-level param subtrees (the reference's
+    # manual requires_grad stage toggles, README.md:46-48)
+    freeze_prefixes: Tuple[str, ...] = ()
 
 
 def sbl() -> WorkloadConfig:

@@ -8,6 +8,11 @@ a python 16-step decode loop, and DataParallel scatter/gather
 
 Gradient semantics: loss = 0.5 * (l2r + r2l) with label smoothing 0.1
 (reference train.py:190-193).
+Parameter freezing: the reference's three-stage recipe toggles
+``requires_grad`` by hand-editing the code (reference README.md:46-48,
+transformer.py:15-16 commented block).  Here ``cfg.freeze_prefixes``
+zeroes gradients for matching top-level param subtrees (e.g.
+``("frontend", "encoder")`` to train only the decoder).
 """
 from __future__ import annotations
 
@@ -20,6 +25,16 @@ import jax.numpy as jnp
 from ..data.pipeline import device_ingest
 from .loss import cal_performance, classify_loss
 from .state import TrainState
+
+
+def _freeze_grads(grads, freeze_prefixes):
+    if not freeze_prefixes:
+        return grads
+    return {
+        k: (jax.tree_util.tree_map(jnp.zeros_like, v)
+            if k in freeze_prefixes else v)
+        for k, v in grads.items()
+    }
 
 
 def _ingest_train(batch, crop: int, dtype):
@@ -37,6 +52,7 @@ def _ingest_eval(batch, crop: int, dtype):
 
 
 def make_sbl_train_step(model, tx, cfg) -> Callable:
+    freeze = tuple(getattr(cfg, "freeze_prefixes", ()) or ())
     crop = cfg.data.crop_size
     dtype = jnp.dtype(cfg.compute_dtype)
     smoothing = cfg.optim.label_smoothing
@@ -63,6 +79,7 @@ def make_sbl_train_step(model, tx, cfg) -> Callable:
             return loss, (mut["batch_stats"], metrics)
 
         grads, (new_bs, metrics) = jax.grad(loss_fn, has_aux=True)(state.params)
+        grads = _freeze_grads(grads, freeze)
         state = state.apply_gradients(grads, tx, new_batch_stats=new_bs)
         return state, metrics
 
@@ -85,6 +102,7 @@ def make_sbl_eval_step(model, cfg) -> Callable:
 
 
 def make_uni_train_step(model, tx, cfg) -> Callable:
+    freeze = tuple(getattr(cfg, "freeze_prefixes", ()) or ())
     crop = cfg.data.crop_size
     dtype = jnp.dtype(cfg.compute_dtype)
     smoothing = cfg.optim.label_smoothing
@@ -105,6 +123,7 @@ def make_uni_train_step(model, tx, cfg) -> Callable:
                           {"loss": loss, "n_correct": n_correct})
 
         grads, (new_bs, metrics) = jax.grad(loss_fn, has_aux=True)(state.params)
+        grads = _freeze_grads(grads, freeze)
         state = state.apply_gradients(grads, tx, new_batch_stats=new_bs)
         return state, metrics
 
@@ -126,6 +145,7 @@ def make_uni_eval_step(model, cfg) -> Callable:
 
 
 def make_classify_train_step(model, tx, cfg) -> Callable:
+    freeze = tuple(getattr(cfg, "freeze_prefixes", ()) or ())
     crop = cfg.data.crop_size
     dtype = jnp.dtype(cfg.compute_dtype)
     lw = cfg.language_loss_weight
@@ -149,6 +169,7 @@ def make_classify_train_step(model, tx, cfg) -> Callable:
                            "lang_correct": l_ok})
 
         grads, (new_bs, metrics) = jax.grad(loss_fn, has_aux=True)(state.params)
+        grads = _freeze_grads(grads, freeze)
         state = state.apply_gradients(grads, tx, new_batch_stats=new_bs)
         return state, metrics
 

@@ -117,13 +117,22 @@ class Trainer:
     """Config-driven trainer covering all four workloads."""
 
     def __init__(self, cfg, train_dataset, valid_datasets: Optional[Dict] = None,
-                 checkpoint_dir: Optional[str] = None):
+                 checkpoint_dir: Optional[str] = None, mesh=None):
         self.cfg = cfg
         self.logger = get_logger()
         self.model = build_model(cfg)
         self.rng = jax.random.PRNGKey(cfg.seed)
         self.np_rng = np.random.default_rng(cfg.seed)
+        self.mesh = mesh
+        if mesh is None and (cfg.mesh.data > 1 or cfg.mesh.model > 1):
+            from ..parallel import make_mesh
+            self.mesh = make_mesh(cfg.mesh.data, cfg.mesh.model)
         self.state, self.tx = init_state(self.model, cfg, self.rng)
+        if self.mesh is not None:
+            from ..parallel import shard_params
+            self.state = self.state.replace(
+                params=shard_params(self.state.params, self.mesh),
+                batch_stats=shard_params(self.state.batch_stats, self.mesh))
         if cfg.name == "classify":
             self.train_step = make_classify_train_step(self.model, self.tx, cfg)
             self.eval_step = make_classify_eval_step(self.model, cfg)
@@ -147,7 +156,11 @@ class Trainer:
                           shuffle=True, seed=self.cfg.seed + epoch)
         it = (attach_plans(b, self.np_rng, self.cfg, train=True)
               for b in batcher)
-        for i, batch in enumerate(prefetch_to_device(it)):
+        sharding = None
+        if self.mesh is not None:
+            from ..parallel import batch_sharding
+            sharding = batch_sharding(self.mesh)
+        for i, batch in enumerate(prefetch_to_device(it, sharding=sharding)):
             if max_steps is not None and i >= max_steps:
                 break
             self.state, metrics = self.train_step(self.state, batch, self.rng)
