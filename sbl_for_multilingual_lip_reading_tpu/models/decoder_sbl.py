@@ -191,10 +191,19 @@ class SBLDecoder(nn.Module):
     teacher_forcing_rate: float = 0.5
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    # rematerialize each decode step in backward: the scan otherwise saves
+    # 16 steps x 12 layers of (B, 17, d_inner) activations (~1.6 GB at the
+    # reference batch 240)
+    remat: bool = True
 
     def setup(self):
+        step_cls = _SBLStep
+        if self.remat:
+            # deterministic (arg 3 incl. self) must stay static under remat
+            step_cls = nn.remat(_SBLStep, static_argnums=(3,),
+                                prevent_cse=False)
         scan_cls = nn.scan(
-            _SBLStep,
+            step_cls,
             variable_broadcast="params",
             split_rngs={"params": False, "dropout": True},
             in_axes=(nn.broadcast, nn.broadcast, 0),

@@ -45,27 +45,30 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
-        def bn(name):
+        def bn(name, h):
+            # fp32 statistics, activations kept in compute dtype (the f32
+            # BN outputs would otherwise double backward-pass HBM)
             return nn.BatchNorm(use_running_average=not train,
                                 momentum=self.bn_momentum,
                                 epsilon=self.bn_epsilon,
-                                dtype=jnp.float32, name=name)
+                                dtype=jnp.float32, name=name)(h).astype(
+                                    self.dtype)
         residual = x
         y = nn.Conv(self.filters, (3, 3), strides=(self.stride, self.stride),
                     padding=((1, 1), (1, 1)), use_bias=False,
                     kernel_init=_conv_init, dtype=self.dtype, name="conv1")(x)
-        y = bn("bn1")(y)
+        y = bn("bn1", y)
         y = nn.relu(y)
         y = nn.Conv(self.filters, (3, 3), padding=((1, 1), (1, 1)),
                     use_bias=False, kernel_init=_conv_init,
                     dtype=self.dtype, name="conv2")(y)
-        y = bn("bn2")(y)
+        y = bn("bn2", y)
         if self.stride != 1 or x.shape[-1] != self.filters:
             residual = nn.Conv(self.filters, (1, 1),
                                strides=(self.stride, self.stride),
                                use_bias=False, kernel_init=_conv_init,
                                dtype=self.dtype, name="downsample_conv")(x)
-            residual = bn("downsample_bn")(residual)
+            residual = bn("downsample_bn", residual)
         return nn.relu(y + residual.astype(y.dtype))
 
 
@@ -121,12 +124,15 @@ class VisualFrontend(nn.Module):
         x = nn.BatchNorm(use_running_average=not train,
                          momentum=self.bn_momentum, epsilon=self.bn_epsilon,
                          dtype=jnp.float32, name="bn3d")(x)
-        x = nn.relu(x)
-        x = nn.max_pool(x, window_shape=(1, 3, 3), strides=(1, 2, 2),
-                        padding=((0, 0), (1, 1), (1, 1)))
-        # fold time into batch for the 2-D trunk: (B*T, H', W', C)
+        x = nn.relu(x).astype(self.dtype)
+        # The reference pools with MaxPool3d(k=(1,3,3)) -- temporal window 1,
+        # so fold time into batch FIRST and pool in 2-D: identical math, and
+        # it spares XLA a 5-D layout that tile-pads the (B, T) dims 4x
+        # (observed 15 GB for a 3.5 GB tensor at batch 256).
         _, _, H, W, C = x.shape
         x = x.reshape(B * T, H, W, C)
+        x = nn.max_pool(x, window_shape=(3, 3), strides=(2, 2),
+                        padding=((1, 1), (1, 1)))
         x = ResNetTrunk(self.resnet_channels, self.resnet_blocks,
                         self.bn_momentum, self.bn_epsilon, self.dtype,
                         self.remat, name="resnet")(x, train=train)
