@@ -102,7 +102,10 @@ class _SBLStep(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, carry, enc_output, deterministic, xs):
+    def __call__(self, carry, enc_kv, deterministic, xs):
+        """enc_kv: tuple of per-layer precomputed cross-attention (kh, vh)
+        pairs ordered [first_l2r, first_r2l, l2r_0, r2l_0, ...] -- computed
+        ONCE outside the scan (see SBLDecoder._run), not per step."""
         ys_l2r, ys_r2l = carry
         step, use_gold, gold_l2r_t, gold_r2l_t = xs
         B, L = ys_l2r.shape
@@ -129,26 +132,31 @@ class _SBLStep(nn.Module):
         # (reference passes slf_attn_mask=None there, decoder.py:145-158)
         stack_mask = beyond
 
-        def dec_layer(name):
-            return DecoderLayer(self.d_model, self.d_inner, self.n_head,
-                                self.d_k, self.d_v, self.dropout, self.dtype,
-                                self.use_pallas, name=name)
+        from .layers import (CachedCrossAttention, MultiHeadAttention,
+                             PositionwiseFeedForward)
 
-        h_l2r = dec_layer("layer_first_l2r")(
-            h_l2r, enc_output, slf_attn_mask=first_mask,
-            deterministic=deterministic)
-        h_r2l = dec_layer("layer_first_r2l")(
-            h_r2l, enc_output, slf_attn_mask=first_mask,
-            deterministic=deterministic)
+        def dec_layer(name, h, kv, slf_mask):
+            h = MultiHeadAttention(
+                self.d_model, self.n_head, self.d_k, self.d_v, self.dropout,
+                self.dtype, self.use_pallas, name=f"{name}_slf")(
+                h, h, h, mask=slf_mask, deterministic=deterministic)
+            h = CachedCrossAttention(
+                self.d_model, self.n_head, self.d_k, self.d_v, self.dropout,
+                self.dtype, name=f"{name}_cross")(
+                h, kv[0], kv[1], deterministic=deterministic)
+            return PositionwiseFeedForward(
+                self.d_model, self.d_inner, self.dropout, self.dtype,
+                name=f"{name}_ffn")(h, deterministic=deterministic)
+
+        h_l2r = dec_layer("layer_first_l2r", h_l2r, enc_kv[0], first_mask)
+        h_r2l = dec_layer("layer_first_r2l", h_r2l, enc_kv[1], first_mask)
         h_l2r, h_r2l = _fuse(h_l2r, h_r2l, step, self.fusion_mode)
 
         for i in range(self.n_layers - 1):
-            h_l2r = dec_layer(f"layer_l2r_{i}")(
-                h_l2r, enc_output, slf_attn_mask=stack_mask,
-                deterministic=deterministic)
-            h_r2l = dec_layer(f"layer_r2l_{i}")(
-                h_r2l, enc_output, slf_attn_mask=stack_mask,
-                deterministic=deterministic)
+            h_l2r = dec_layer(f"layer_l2r_{i}", h_l2r, enc_kv[2 + 2 * i],
+                              stack_mask)
+            h_r2l = dec_layer(f"layer_r2l_{i}", h_r2l, enc_kv[3 + 2 * i],
+                              stack_mask)
             h_l2r, h_r2l = _fuse(h_l2r, h_r2l, step, self.fusion_mode)
 
         # untied per-direction output heads (reference decoder.py:59-60)
@@ -213,6 +221,14 @@ class SBLDecoder(nn.Module):
             self.vocab_size, self.d_model, self.n_layers, self.n_head,
             self.d_k, self.d_v, self.d_inner, self.dropout, self.pe_maxlen,
             self.fusion_mode, self.dtype, self.use_pallas)
+        # per-layer cross-attention K/V projections, hoisted OUT of the scan
+        # so the encoder sequence is projected once per clip, not once per
+        # decode step (order: [first_l2r, first_r2l, l2r_0, r2l_0, ...])
+        from .layers import CrossKV
+        self.cross_kv = [
+            CrossKV(self.d_model, self.n_head, self.d_k, self.d_v, self.dtype)
+            for _ in range(2 * self.n_layers)
+        ]
 
     def _run(self, enc_output: Array, gold_l2r: Array, gold_r2l: Array,
              use_gold: Array, deterministic: bool):
@@ -223,8 +239,10 @@ class SBLDecoder(nn.Module):
               use_gold,                                   # (maxlen,) bool
               gold_l2r.T,                                 # (maxlen, B)
               gold_r2l.T)
+        enc = enc_output.astype(self.dtype)
+        enc_kv = tuple(kv(enc) for kv in self.cross_kv)
         (ys_l2r, ys_r2l), (lg_l2r, lg_r2l) = self.step(
-            (ys0, ys0), enc_output.astype(self.dtype), deterministic, xs)
+            (ys0, ys0), enc_kv, deterministic, xs)
         # (maxlen, B, V) -> (B, maxlen, V)
         return (ys_l2r, ys_r2l,
                 jnp.transpose(lg_l2r, (1, 0, 2)),

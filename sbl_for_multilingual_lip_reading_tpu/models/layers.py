@@ -113,6 +113,76 @@ class MultiHeadAttention(nn.Module):
         return out.astype(self.dtype)
 
 
+class CrossKV(nn.Module):
+    """Key/value projection heads for cross-attention, split out of the
+    attention module so autoregressive decoders can project the encoder
+    sequence ONCE instead of at every decode step (the reference re-runs
+    ``w_ks``/``w_vs`` over the encoder outputs 16 x 12 times per clip,
+    decoder.py:106-164)."""
+    d_model: int
+    n_head: int
+    d_k: int
+    d_v: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, enc: Array):
+        h, d_k, d_v, d_model = self.n_head, self.d_k, self.d_v, self.d_model
+        qk_init = nn.initializers.normal(
+            stddev=float(np.sqrt(2.0 / (d_model + d_k))))
+        v_init = nn.initializers.normal(
+            stddev=float(np.sqrt(2.0 / (d_model + d_v))))
+        B, Tk, _ = enc.shape
+        kh = nn.Dense(h * d_k, kernel_init=qk_init, dtype=self.dtype,
+                      name="w_ks")(enc).reshape(B, Tk, h, d_k)
+        vh = nn.Dense(h * d_v, kernel_init=v_init, dtype=self.dtype,
+                      name="w_vs")(enc).reshape(B, Tk, h, d_v)
+        return kh, vh
+
+
+class CachedCrossAttention(nn.Module):
+    """Multi-head cross-attention consuming precomputed (kh, vh) from
+    ``CrossKV``.  Identical math to ``MultiHeadAttention`` (post-LN
+    residual, fp32 softmax) minus the per-call K/V projections."""
+    d_model: int
+    n_head: int
+    d_k: int
+    d_v: int
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q: Array, kh: Array, vh: Array,
+                 mask: Optional[Array] = None,
+                 deterministic: bool = True) -> Array:
+        residual = q
+        h, d_k, d_v, d_model = self.n_head, self.d_k, self.d_v, self.d_model
+        qk_init = nn.initializers.normal(
+            stddev=float(np.sqrt(2.0 / (d_model + d_k))))
+        B, Tq, _ = q.shape
+        qh = nn.Dense(h * d_k, kernel_init=qk_init, dtype=self.dtype,
+                      name="w_qs")(q).reshape(B, Tq, h, d_k)
+        scale = 1.0 / np.sqrt(d_k)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
+                            preferred_element_type=jnp.float32) * scale
+        if mask is not None:
+            logits = jnp.where(mask[:, None, :, :], _MASK_FILL, logits)
+        attn = nn.softmax(logits.astype(jnp.float32),
+                          axis=-1).astype(self.dtype)
+        attn = nn.Dropout(self.dropout, name="attn_drop")(
+            attn, deterministic=deterministic)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, vh,
+                         preferred_element_type=jnp.float32).astype(self.dtype)
+        ctx = ctx.reshape(B, Tq, h * d_v)
+        out = nn.Dense(d_model, kernel_init=nn.initializers.xavier_normal(),
+                       dtype=self.dtype, name="fc")(ctx)
+        out = nn.Dropout(self.dropout, name="out_drop")(
+            out, deterministic=deterministic)
+        out = nn.LayerNorm(dtype=jnp.float32, name="layer_norm")(
+            out.astype(jnp.float32) + residual.astype(jnp.float32))
+        return out.astype(self.dtype)
+
+
 class PositionwiseFeedForward(nn.Module):
     d_model: int
     d_inner: int

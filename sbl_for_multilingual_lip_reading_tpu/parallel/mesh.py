@@ -44,11 +44,10 @@ def make_mesh(data: int = 1, model: int = 1,
 # the transformer matmuls; everything else (convs, LN, BN, embeddings,
 # vocab heads -- vocab 58 doesn't tile) replicated.
 PARAM_RULES: Tuple[Tuple[str, P], ...] = (
-    (r".*(w_qs|w_ks|w_vs)/kernel$", P(None, "model")),   # column parallel
-    (r".*slf_attn/fc/kernel$", P("model", None)),        # row parallel
-    (r".*enc_attn/fc/kernel$", P("model", None)),
-    (r".*pos_ffn/w_1/kernel$", P(None, "model")),
-    (r".*pos_ffn/w_2/kernel$", P("model", None)),
+    (r".*(w_qs|w_ks|w_vs)/kernel$", P(None, "model")),            # column
+    (r".*(slf_attn|enc_attn|_slf|_cross)/fc/kernel$", P("model", None)),
+    (r".*(pos_ffn|_ffn)/w_1/kernel$", P(None, "model")),
+    (r".*(pos_ffn|_ffn)/w_2/kernel$", P("model", None)),
 )
 
 
