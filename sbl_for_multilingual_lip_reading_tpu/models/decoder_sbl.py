@@ -84,10 +84,63 @@ def _fuse(h_a: Array, h_b: Array, step: Array, mode: str) -> Tuple[Array, Array]
     raise ValueError(f"unknown fusion_mode: {mode}")
 
 
+def _fuse_dual(h: Array, step: Array, mode: str) -> Array:
+    """Direction-stacked fusion: h is (2, B, L, D) with dir 0 = l2r.
+
+    symmetric:          h' = h + rev(h[::-1])
+    reference_aliased:  l2r' = l2r + rev(r2l);  r2l' = 2*r2l + rev(l2r)
+    (see _fuse for the per-direction derivation).
+    """
+    L = h.shape[2]
+    n = jnp.arange(L)
+    idx = jnp.where(n <= step, step - n, n)
+    idx = jnp.broadcast_to(idx[None, None, :, None],
+                           (2, h.shape[1], L, 1))
+    rev = jnp.take_along_axis(h[::-1], idx, axis=2)
+    if mode == "symmetric":
+        return h + rev
+    elif mode == "reference_aliased":
+        scale = jnp.asarray([1.0, 2.0], h.dtype).reshape(2, 1, 1, 1)
+        return h * scale + rev
+    raise ValueError(f"unknown fusion_mode: {mode}")
+
+
+class _SBLLayer(nn.Module):
+    """One per-direction decoder layer: self-attn + cached cross-attn + FFN.
+    Vmapped over the direction axis by _SBLStep so both directions' matmuls
+    execute as single batched GEMMs with per-direction weights."""
+    d_model: int
+    n_head: int
+    d_k: int
+    d_v: int
+    d_inner: int
+    dropout: float
+    dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, h, kh, vh, slf_mask, deterministic):
+        from .layers import (CachedCrossAttention, MultiHeadAttention,
+                             PositionwiseFeedForward)
+        h = MultiHeadAttention(
+            self.d_model, self.n_head, self.d_k, self.d_v, self.dropout,
+            self.dtype, self.use_pallas, name="slf")(
+            h, h, h, mask=slf_mask, deterministic=deterministic)
+        h = CachedCrossAttention(
+            self.d_model, self.n_head, self.d_k, self.d_v, self.dropout,
+            self.dtype, name="cross")(
+            h, kh, vh, deterministic=deterministic)
+        return PositionwiseFeedForward(
+            self.d_model, self.d_inner, self.dropout, self.dtype,
+            name="ffn")(h, deterministic=deterministic)
+
+
 class _SBLStep(nn.Module):
-    """One decode step: runs both direction stacks over the full (fixed-size)
-    token buffers, fuses after every layer, emits logits at position ``step``
-    and writes the next token at ``step+1``."""
+    """One decode step over BOTH directions at once: token buffers stack
+    into a leading direction axis (2, B, L); every layer is an ``nn.vmap``
+    over that axis (per-direction weights, shared embedding), so the whole
+    step runs as batched GEMMs instead of two interleaved stacks.  Emits
+    logits at position ``step`` and writes the next token at ``step+1``."""
     vocab_size: int
     d_model: int
     n_layers: int
@@ -103,26 +156,23 @@ class _SBLStep(nn.Module):
 
     @nn.compact
     def __call__(self, carry, enc_kv, deterministic, xs):
-        """enc_kv: tuple of per-layer precomputed cross-attention (kh, vh)
-        pairs ordered [first_l2r, first_r2l, l2r_0, r2l_0, ...] -- computed
-        ONCE outside the scan (see SBLDecoder._run), not per step."""
+        """enc_kv: tuple of n_layers (kh, vh) pairs, each direction-stacked
+        (2, B, Tk, H, d) -- computed ONCE outside the scan."""
         ys_l2r, ys_r2l = carry
         step, use_gold, gold_l2r_t, gold_r2l_t = xs
         B, L = ys_l2r.shape
+        ys = jnp.stack([ys_l2r, ys_r2l])                # (2, B, L)
 
+        # shared embedding (reference shares tgt_word_emb across directions,
+        # decoder.py:43)
         embed = nn.Embed(self.vocab_size, self.d_model,
                          embedding_init=nn.initializers.xavier_uniform(),
                          dtype=self.dtype, name="tgt_word_emb")
         pe = jnp.asarray(sinusoid_position_encoding(self.pe_maxlen,
                                                     self.d_model)[:L])
-        drop = nn.Dropout(self.dropout, name="emb_drop")
-
-        def embed_dir(ys):
-            h = embed(ys) + pe.astype(self.dtype)
-            return drop(h, deterministic=deterministic)
-
-        h_l2r = embed_dir(ys_l2r)
-        h_r2l = embed_dir(ys_r2l)
+        h = embed(ys) + pe.astype(self.dtype)
+        h = nn.Dropout(self.dropout, name="emb_drop")(
+            h, deterministic=deterministic)
 
         # first layer: causal AND restricted to the live prefix (keys<=step)
         causal = M.causal_mask(L)[None]                 # (1, L, L)
@@ -132,55 +182,42 @@ class _SBLStep(nn.Module):
         # (reference passes slf_attn_mask=None there, decoder.py:145-158)
         stack_mask = beyond
 
-        from .layers import (CachedCrossAttention, MultiHeadAttention,
-                             PositionwiseFeedForward)
+        dual_layer = nn.vmap(
+            _SBLLayer,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            in_axes=(0, 0, 0, None, None), out_axes=0, axis_size=2)
 
-        def dec_layer(name, h, kv, slf_mask):
-            h = MultiHeadAttention(
-                self.d_model, self.n_head, self.d_k, self.d_v, self.dropout,
-                self.dtype, self.use_pallas, name=f"{name}_slf")(
-                h, h, h, mask=slf_mask, deterministic=deterministic)
-            h = CachedCrossAttention(
-                self.d_model, self.n_head, self.d_k, self.d_v, self.dropout,
-                self.dtype, name=f"{name}_cross")(
-                h, kv[0], kv[1], deterministic=deterministic)
-            return PositionwiseFeedForward(
-                self.d_model, self.d_inner, self.dropout, self.dtype,
-                name=f"{name}_ffn")(h, deterministic=deterministic)
+        def layer(i):
+            return dual_layer(self.d_model, self.n_head, self.d_k, self.d_v,
+                              self.d_inner, self.dropout, self.dtype,
+                              self.use_pallas, name=f"layer_{i}")
 
-        h_l2r = dec_layer("layer_first_l2r", h_l2r, enc_kv[0], first_mask)
-        h_r2l = dec_layer("layer_first_r2l", h_r2l, enc_kv[1], first_mask)
-        h_l2r, h_r2l = _fuse(h_l2r, h_r2l, step, self.fusion_mode)
-
-        for i in range(self.n_layers - 1):
-            h_l2r = dec_layer(f"layer_l2r_{i}", h_l2r, enc_kv[2 + 2 * i],
-                              stack_mask)
-            h_r2l = dec_layer(f"layer_r2l_{i}", h_r2l, enc_kv[3 + 2 * i],
-                              stack_mask)
-            h_l2r, h_r2l = _fuse(h_l2r, h_r2l, step, self.fusion_mode)
+        h = layer(0)(h, enc_kv[0][0], enc_kv[0][1], first_mask, deterministic)
+        h = _fuse_dual(h, step, self.fusion_mode)
+        for i in range(1, self.n_layers):
+            h = layer(i)(h, enc_kv[i][0], enc_kv[i][1], stack_mask,
+                         deterministic)
+            h = _fuse_dual(h, step, self.fusion_mode)
 
         # untied per-direction output heads (reference decoder.py:59-60)
-        head_l2r = nn.Dense(self.vocab_size, use_bias=False,
-                            kernel_init=nn.initializers.xavier_uniform(),
-                            dtype=self.dtype, name="tgt_word_prj_l2r")
-        head_r2l = nn.Dense(self.vocab_size, use_bias=False,
-                            kernel_init=nn.initializers.xavier_uniform(),
-                            dtype=self.dtype, name="tgt_word_prj_r2l")
+        dual_head = nn.vmap(
+            nn.Dense, variable_axes={"params": 0},
+            split_rngs={"params": True}, in_axes=0, out_axes=0, axis_size=2)
+        last = jax.lax.dynamic_slice_in_dim(h, step, 1, axis=2)[:, :, 0]
+        logits = dual_head(self.vocab_size, use_bias=False,
+                           kernel_init=nn.initializers.xavier_uniform(),
+                           dtype=self.dtype, name="tgt_word_prj")(
+            last).astype(jnp.float32)                   # (2, B, V)
 
-        last_l2r = jax.lax.dynamic_slice_in_dim(h_l2r, step, 1, axis=1)[:, 0]
-        last_r2l = jax.lax.dynamic_slice_in_dim(h_r2l, step, 1, axis=1)[:, 0]
-        logits_l2r = head_l2r(last_l2r).astype(jnp.float32)
-        logits_r2l = head_r2l(last_r2l).astype(jnp.float32)
-
-        next_l2r = jnp.where(use_gold, gold_l2r_t,
-                             jnp.argmax(logits_l2r, axis=-1)).astype(jnp.int32)
-        next_r2l = jnp.where(use_gold, gold_r2l_t,
-                             jnp.argmax(logits_r2l, axis=-1)).astype(jnp.int32)
+        gold = jnp.stack([gold_l2r_t, gold_r2l_t])      # (2, B)
+        nxt = jnp.where(use_gold, gold,
+                        jnp.argmax(logits, axis=-1)).astype(jnp.int32)
         ys_l2r = jax.lax.dynamic_update_slice_in_dim(
-            ys_l2r, next_l2r[:, None], step + 1, axis=1)
+            ys_l2r, nxt[0][:, None], step + 1, axis=1)
         ys_r2l = jax.lax.dynamic_update_slice_in_dim(
-            ys_r2l, next_r2l[:, None], step + 1, axis=1)
-        return (ys_l2r, ys_r2l), (logits_l2r, logits_r2l)
+            ys_r2l, nxt[1][:, None], step + 1, axis=1)
+        return (ys_l2r, ys_r2l), (logits[0], logits[1])
 
 
 class SBLDecoder(nn.Module):
@@ -223,11 +260,15 @@ class SBLDecoder(nn.Module):
             self.fusion_mode, self.dtype, self.use_pallas)
         # per-layer cross-attention K/V projections, hoisted OUT of the scan
         # so the encoder sequence is projected once per clip, not once per
-        # decode step (order: [first_l2r, first_r2l, l2r_0, r2l_0, ...])
+        # decode step; vmapped over the direction axis (per-direction
+        # weights, leading param dim 2)
         from .layers import CrossKV
+        dual_kv = nn.vmap(CrossKV, variable_axes={"params": 0},
+                          split_rngs={"params": True}, in_axes=None,
+                          out_axes=0, axis_size=2)
         self.cross_kv = [
-            CrossKV(self.d_model, self.n_head, self.d_k, self.d_v, self.dtype)
-            for _ in range(2 * self.n_layers)
+            dual_kv(self.d_model, self.n_head, self.d_k, self.d_v, self.dtype)
+            for _ in range(self.n_layers)
         ]
 
     def _run(self, enc_output: Array, gold_l2r: Array, gold_r2l: Array,

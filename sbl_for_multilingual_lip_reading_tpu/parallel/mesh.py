@@ -42,12 +42,14 @@ def make_mesh(data: int = 1, model: int = 1,
 
 # (path regex, PartitionSpec) -- first match wins.  Megatron-style TP for
 # the transformer matmuls; everything else (convs, LN, BN, embeddings,
-# vocab heads -- vocab 58 doesn't tile) replicated.
+# vocab heads -- vocab 58 doesn't tile) replicated.  Specs are aligned to
+# the TRAILING dims of the param: the SBL decoder's direction-vmapped
+# params carry a leading (2, ...) axis that stays replicated.
 PARAM_RULES: Tuple[Tuple[str, P], ...] = (
     (r".*(w_qs|w_ks|w_vs)/kernel$", P(None, "model")),            # column
-    (r".*(slf_attn|enc_attn|_slf|_cross)/fc/kernel$", P("model", None)),
-    (r".*(pos_ffn|_ffn)/w_1/kernel$", P(None, "model")),
-    (r".*(pos_ffn|_ffn)/w_2/kernel$", P("model", None)),
+    (r".*(slf_attn|enc_attn|slf|cross)/fc/kernel$", P("model", None)),
+    (r".*(pos_ffn|ffn)/w_1/kernel$", P(None, "model")),
+    (r".*(pos_ffn|ffn)/w_2/kernel$", P("model", None)),
 )
 
 
@@ -57,14 +59,15 @@ def param_spec(path: str, shape, mesh: Mesh) -> P:
     msize = mesh.shape["model"]
     for pattern, spec in PARAM_RULES:
         if re.match(pattern, path):
-            ok = True
-            for dim, axis in enumerate(spec):
-                if axis == "model" and (dim >= len(shape)
-                                        or shape[dim] % msize != 0):
-                    ok = False
-            if ok and msize > 1:
-                return spec
-            return P()
+            if len(shape) < len(spec) or msize <= 1:
+                return P()
+            # right-align the rule onto the param's trailing dims
+            offset = len(shape) - len(spec)
+            full = P(*([None] * offset + list(spec)))
+            for dim, axis in enumerate(full):
+                if axis == "model" and shape[dim] % msize != 0:
+                    return P()
+            return full
     return P()
 
 

@@ -43,6 +43,6 @@ def test_trainer_with_mesh_config():
         loss = tr.train_epoch(0, max_steps=1)
     assert np.isfinite(loss)
     # tp rule actually sharded the attention kernel
-    qs = tr.state.params["decoder"]["step"]["layer_first_l2r_slf"][
+    qs = tr.state.params["decoder"]["step"]["layer_0"]["slf"][
         "w_qs"]["kernel"]
     assert not qs.sharding.is_fully_replicated

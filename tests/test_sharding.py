@@ -19,9 +19,9 @@ pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
 
 def test_param_spec_rules():
     mesh = make_mesh(data=4, model=2)
-    spec = param_spec("decoder/step/layer_first_l2r_slf/w_qs/kernel",
-                      (64, 64), mesh)
-    assert spec == jax.sharding.PartitionSpec(None, "model")
+    spec = param_spec("decoder/step/layer_0/slf/w_qs/kernel",
+                      (2, 64, 64), mesh)
+    assert spec == jax.sharding.PartitionSpec(None, None, "model")
     spec = param_spec("encoder/layer_0/pos_ffn/w_2/kernel", (128, 64), mesh)
     assert spec == jax.sharding.PartitionSpec("model", None)
     # non-divisible dims fall back to replication
@@ -53,7 +53,7 @@ def test_dp_tp_train_step_matches_single_device():
         batch_sh = shard_batch(batch, mesh)
         new_state, m_mesh = tr.train_step(state_sh, batch_sh, tr.rng)
         # params end up sharded per the TP rules
-        qs = new_state.params["decoder"]["step"]["layer_first_l2r_slf"][
+        qs = new_state.params["decoder"]["step"]["layer_0"]["slf"][
             "w_qs"]["kernel"]
         assert not qs.sharding.is_fully_replicated
 
