@@ -65,13 +65,27 @@ class Batcher:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  seed: int = 0, drop_last: bool = True,
-                 sampler: Optional[Iterable] = None):
+                 sampler: Optional[Iterable] = None,
+                 process_index: Optional[int] = None,
+                 process_count: Optional[int] = None):
+        """Multi-host: pass process_index/process_count (defaults to
+        jax.process_index()/count when process_count='auto') and each host
+        assembles its disjoint stripe of every *global* batch -- the host
+        data sharding over DCN that pairs with a dp mesh (batch_size is the
+        GLOBAL batch; all hosts must use the same seed so the shuffled
+        order agrees)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.rng = np.random.default_rng(seed)
         self.sampler = sampler
+        if process_count == "auto":
+            process_index, process_count = (jax.process_index(),
+                                            jax.process_count())
+        self.process_index = process_index or 0
+        self.process_count = process_count or 1
+        assert batch_size % self.process_count == 0
 
     def __len__(self):
         if self.sampler is not None:
@@ -82,7 +96,8 @@ class Batcher:
     def __iter__(self) -> Iterator[dict]:
         if self.sampler is not None:
             for idx_batch in self.sampler:
-                yield self._collate([self.dataset[i] for i in idx_batch])
+                yield self._collate([self.dataset[i]
+                                     for i in self._local(idx_batch)])
             return
         order = np.arange(len(self.dataset))
         if self.shuffle:
@@ -90,8 +105,16 @@ class Batcher:
         stop = (len(order) // self.batch_size * self.batch_size
                 if self.drop_last else len(order))
         for s in range(0, stop, self.batch_size):
-            idx = order[s:s + self.batch_size]
+            idx = self._local(order[s:s + self.batch_size])
             yield self._collate([self.dataset[i] for i in idx])
+
+    def _local(self, global_idx):
+        """This host's stripe of a global index batch."""
+        if self.process_count == 1:
+            return list(global_idx)
+        per = len(global_idx) // self.process_count
+        lo = self.process_index * per
+        return list(global_idx[lo:lo + per])
 
     @staticmethod
     def _collate(samples) -> dict:

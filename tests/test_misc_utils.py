@@ -62,3 +62,20 @@ def test_build_vocab_pickle(tmp_path):
     assert data["VOCAB"]["<sos>"] == 0 and data["VOCAB"]["<eos>"] == 1
     assert set("abcd") <= set(data["VOCAB"])
     assert json.load(open(out))["VOCAB"]["a"] == data["VOCAB"]["a"]
+
+
+def test_batcher_multihost_stripes():
+    """Two simulated hosts must see disjoint stripes of the same global
+    batches (same seed => same shuffled order)."""
+    ds = SyntheticLipDataset(size=16, frames=2, raw_size=8)
+    b0 = Batcher(ds, 8, shuffle=True, seed=3, process_index=0,
+                 process_count=2)
+    b1 = Batcher(ds, 8, shuffle=True, seed=3, process_index=1,
+                 process_count=2)
+    for x0, x1 in zip(b0, b1):
+        assert x0["clip_u8"].shape[0] == 4
+        assert x1["clip_u8"].shape[0] == 4
+        # disjoint samples
+        ids0 = {bytes(c) for c in x0["clip_u8"].reshape(4, -1)}
+        ids1 = {bytes(c) for c in x1["clip_u8"].reshape(4, -1)}
+        assert not (ids0 & ids1)
