@@ -82,13 +82,23 @@ class Lrw1000Dataset:
 
     def __init__(self, images_root: str, manifest_path: str,
                  frames: int = 30, raw_size: int = 96, pad_len: int = 14,
-                 limit: Optional[int] = None):
+                 limit: Optional[int] = None, wav_root: Optional[str] = None,
+                 audio_dim: int = 80, lfr_m: int = 4, lfr_n: int = 3,
+                 audio_pad_frames: int = 88):
+        """wav_root: when given, samples also carry 80-dim log-mel fbank
+        features with LFR stacking (the audio stream of the reference's
+        audio-visual variants, data_gen_LRW1000.py + utils.py:199-233),
+        zero-padded to ``audio_pad_frames`` LFR frames."""
         if cv2 is None:
             raise RuntimeError("cv2 required for LRW-1000 jpg decoding")
         self.images_root = images_root
         self.frames = frames
         self.raw = raw_size
         self.pad_len = pad_len
+        self.wav_root = wav_root
+        self.audio_dim = audio_dim
+        self.lfr_m, self.lfr_n = lfr_m, lfr_n
+        self.audio_pad_frames = audio_pad_frames
         self.entries: List[Lrw1000Entry] = read_manifest(manifest_path,
                                                          limit=limit)
 
@@ -116,9 +126,34 @@ class Lrw1000Dataset:
             clip[t] = img
             t += 1
         ids = e.label_ids
-        return {"clip_u8": clip, "labels": _pad_labels(ids, self.pad_len),
-                "labels_reverse": _pad_labels(ids[::-1], self.pad_len),
-                "lang_id": np.int32(1), "word_id": np.int32(0)}
+        out = {"clip_u8": clip, "labels": _pad_labels(ids, self.pad_len),
+               "labels_reverse": _pad_labels(ids[::-1], self.pad_len),
+               "lang_id": np.int32(1), "word_id": np.int32(0)}
+        if self.wav_root is not None:
+            out["audio"] = self._load_audio(e)
+        return out
+
+    def _load_audio(self, e: Lrw1000Entry) -> np.ndarray:
+        """(audio_pad_frames, audio_dim * lfr_m) fbank+LFR features."""
+        from .audio import build_lfr_features, extract_fbank
+        import wave
+        d = self.audio_dim * self.lfr_m
+        out = np.zeros((self.audio_pad_frames, d), dtype=np.float32)
+        path = os.path.join(self.wav_root, e.wav_id + ".wav")
+        try:
+            with wave.open(path, "rb") as w:
+                sr = w.getframerate()
+                raw = w.readframes(w.getnframes())
+            y = np.frombuffer(raw, dtype=np.int16).astype(np.float32) / 32768.0
+            if len(y) == 0:
+                return out
+            feat = extract_fbank(y, sr=sr, dim=self.audio_dim)
+            feat = build_lfr_features(feat, self.lfr_m, self.lfr_n)
+            n = min(len(feat), self.audio_pad_frames)
+            out[:n] = feat[:n]
+        except (OSError, wave.Error):
+            pass
+        return out
 
 
 class MixedBilingualDataset:

@@ -147,3 +147,30 @@ def test_lrw_dataset_from_npy_tree(tmp_path):
     assert s["clip_u8"].shape == (30, 96, 96)
     assert s["clip_u8"][29].sum() == 0  # zero-padded 30th frame
     assert (s["labels"] != IGNORE_ID).sum() >= 2
+
+
+def test_lrw1000_audio_stream(tmp_path):
+    """Optional fbank+LFR audio features from wav files."""
+    import wave
+    import struct as _struct
+    wavdir = tmp_path / "wavs"
+    wavdir.mkdir()
+    sr = 16000
+    t = np.arange(sr // 2) / sr
+    samples = (0.4 * np.sin(2 * np.pi * 300 * t) * 32767).astype(np.int16)
+    with wave.open(str(wavdir / "w1.wav"), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(samples.tobytes())
+    man = tmp_path / "m.txt"
+    man.write_text("dir1,w1,x,ni hao,0.0,0.4\n")
+    imroot = tmp_path / "images"
+    (imroot / "dir1").mkdir(parents=True)
+    from sbl_for_multilingual_lip_reading_tpu.data.datasets import (
+        Lrw1000Dataset)
+    ds = Lrw1000Dataset(str(imroot), str(man), wav_root=str(wavdir),
+                        frames=4, raw_size=16)
+    s = ds[0]
+    assert s["audio"].shape == (88, 320)   # LFR m=4 stacking of 80-dim fbank
+    assert np.abs(s["audio"]).sum() > 0
