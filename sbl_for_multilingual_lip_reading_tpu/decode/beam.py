@@ -97,12 +97,16 @@ def make_uni_beam_decoder(model, beam_size: int = 5,
         B, T, D = enc.shape
         enc_tiled = jnp.repeat(enc, K, axis=0)               # (B*K, T, D)
         dec = model.decoder
+        # cross-attention K/V projected once for the whole search
+        enc_kv = model.apply(
+            variables, enc_tiled,
+            method=lambda m, e: m.decoder.compute_cross_kv(e))
 
         def step_fn(ys, step):
             return model.apply(
-                variables, ys, enc_tiled, step,
-                method=lambda m, ys_, enc_, s_: m.decoder.step_logits(
-                    ys_, enc_, s_))
+                variables, ys, enc_kv, step,
+                method=lambda m, ys_, kv_, s_: m.decoder.step_logits_cached(
+                    ys_, kv_, s_))
 
         return beam_search(step_fn, enc, K, dec.maxlen, dec.vocab_size,
                            bigram_logp=bigram_logp)

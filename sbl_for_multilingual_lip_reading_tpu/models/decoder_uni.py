@@ -3,7 +3,9 @@
 Rewrite of the reference per-project decoders
 (VSR_seq2seq_Transformer_with_phonemes_LRW/transformer/decoder.py:19-200 and
 the LRW1000 variant).  Training is a single parallel teacher-forced forward
-(one fused graph -- no step loop); greedy decode is a ``lax.scan``.
+(one fused graph -- no step loop); greedy decode is a ``lax.scan``.  The
+encoder sequence's cross-attention K/V are projected ONCE per clip
+(``CrossKV``) instead of at every decode step.
 
 Parity notes:
 * target preprocessing adds sos on the input side and eos on the output side;
@@ -24,7 +26,8 @@ from flax import linen as nn
 
 from ..ops import masks as M
 from ..vocab import IGNORE_ID, SOS_ID, EOS_ID
-from .layers import DecoderLayer, sinusoid_position_encoding
+from .layers import (CachedCrossAttention, CrossKV, MultiHeadAttention,
+                     PositionwiseFeedForward, sinusoid_position_encoding)
 
 Array = jnp.ndarray
 
@@ -78,11 +81,21 @@ class UniDecoder(nn.Module):
             embedding_init=nn.initializers.xavier_uniform(),
             dtype=self.dtype)
         self.emb_drop = nn.Dropout(self.dropout)
-        self.layers = [
-            DecoderLayer(self.d_model, self.d_inner, self.n_head, self.d_k,
-                         self.d_v, self.dropout, self.dtype, self.use_pallas)
-            for i in range(self.n_layers)
-        ]
+        self.slf_attn = [
+            MultiHeadAttention(self.d_model, self.n_head, self.d_k, self.d_v,
+                               self.dropout, self.dtype, self.use_pallas)
+            for _ in range(self.n_layers)]
+        self.enc_attn = [
+            CachedCrossAttention(self.d_model, self.n_head, self.d_k,
+                                 self.d_v, self.dropout, self.dtype)
+            for _ in range(self.n_layers)]
+        self.pos_ffn = [
+            PositionwiseFeedForward(self.d_model, self.d_inner, self.dropout,
+                                    self.dtype)
+            for _ in range(self.n_layers)]
+        self.cross_kv = [
+            CrossKV(self.d_model, self.n_head, self.d_k, self.d_v, self.dtype)
+            for _ in range(self.n_layers)]
         if not self.tie_embedding:
             self.tgt_word_prj = nn.Dense(
                 self.vocab_size, use_bias=False,
@@ -100,16 +113,28 @@ class UniDecoder(nn.Module):
     def _project(self, h: Array) -> Array:
         if self.tie_embedding:
             w = self.tgt_word_emb.embedding.astype(self.dtype)
-            return jnp.einsum("btd,vd->btv", h, w,
+            return jnp.einsum("...td,vd->...tv", h, w,
                               preferred_element_type=jnp.float32)
         return self.tgt_word_prj(h).astype(jnp.float32)
 
-    def _stack(self, h: Array, enc_output: Array, non_pad, slf_mask,
-               dec_enc_mask, deterministic: bool) -> Array:
-        for layer in self.layers:
-            h = layer(h, enc_output, non_pad_mask=non_pad,
-                      slf_attn_mask=slf_mask, dec_enc_attn_mask=dec_enc_mask,
+    def _compute_kv(self, enc_output: Array):
+        enc = enc_output.astype(self.dtype)
+        return tuple(kv(enc) for kv in self.cross_kv)
+
+    def _stack(self, h: Array, enc_kv, non_pad, slf_mask, dec_enc_mask,
+               deterministic: bool) -> Array:
+        for slf, cross, ffn, (kh, vh) in zip(self.slf_attn, self.enc_attn,
+                                             self.pos_ffn, enc_kv):
+            h = slf(h, h, h, mask=slf_mask, deterministic=deterministic)
+            if non_pad is not None:
+                h = h * non_pad.astype(h.dtype)
+            h = cross(h, kh, vh, mask=dec_enc_mask,
                       deterministic=deterministic)
+            if non_pad is not None:
+                h = h * non_pad.astype(h.dtype)
+            h = ffn(h, deterministic=deterministic)
+            if non_pad is not None:
+                h = h * non_pad.astype(h.dtype)
         return h
 
     def __call__(self, labels: Array, enc_output: Array,
@@ -126,7 +151,7 @@ class UniDecoder(nn.Module):
         dec_enc_mask = (M.key_pad_mask_from_lengths(enc_lengths, Tk)
                         if enc_lengths is not None else None)
         h = self._embed(ys_in, deterministic)
-        h = self._stack(h, enc_output.astype(self.dtype), non_pad, slf_mask,
+        h = self._stack(h, self._compute_kv(enc_output), non_pad, slf_mask,
                         dec_enc_mask, deterministic)
         logits = self._project(h).astype(jnp.float32)
         return logits, ys_out
@@ -134,12 +159,12 @@ class UniDecoder(nn.Module):
     def recognize_greedy(self, enc_output: Array,
                          maxlen: Optional[int] = None) -> Array:
         """Batched greedy decode (reference LRW decoder.py:138-176): re-runs
-        the full prefix each step inside one ``lax.scan``.  Returns (B, L+1)
-        token ids including the leading sos."""
+        the full prefix each step inside one ``lax.scan`` (cross K/V
+        projected once).  Returns (B, L+1) token ids incl. the leading sos."""
         steps = self.maxlen if maxlen is None else maxlen
         B = enc_output.shape[0]
         L = steps + 1
-        enc = enc_output.astype(self.dtype)
+        enc_kv = self._compute_kv(enc_output)
         ys0 = jnp.full((B, L), SOS_ID, jnp.int32)
         causal = M.causal_mask(L)[None]
 
@@ -147,7 +172,7 @@ class UniDecoder(nn.Module):
             beyond = (jnp.arange(L) > step)[None, None, :]
             slf_mask = jnp.logical_or(causal, beyond)
             h = self._embed(ys, True)
-            h = self._stack(h, enc, None, slf_mask, None, True)
+            h = self._stack(h, enc_kv, None, slf_mask, None, True)
             logits = self._project(h)
             last = jax.lax.dynamic_slice_in_dim(logits, step, 1, axis=1)[:, 0]
             nxt = jnp.argmax(last, axis=-1).astype(jnp.int32)
@@ -162,15 +187,18 @@ class UniDecoder(nn.Module):
     def step_logits(self, ys: Array, enc_output: Array, step: Array) -> Array:
         """Logits for position ``step`` given token buffer ``ys`` (B, L).
         Building block for external search loops (beam search)."""
+        return self.step_logits_cached(ys, self._compute_kv(enc_output), step)
+
+    def step_logits_cached(self, ys: Array, enc_kv, step: Array) -> Array:
+        """Like step_logits but with precomputed cross-attention K/V."""
         L = ys.shape[1]
         beyond = (jnp.arange(L) > step)[None, None, :]
         slf_mask = jnp.logical_or(M.causal_mask(L)[None], beyond)
         h = self._embed(ys, True)
-        h = self._stack(h, enc_output.astype(self.dtype), None, slf_mask,
-                        None, True)
+        h = self._stack(h, enc_kv, None, slf_mask, None, True)
         last = jax.lax.dynamic_slice_in_dim(h, step, 1, axis=1)[:, 0]
-        if self.tie_embedding:
-            w = self.tgt_word_emb.embedding.astype(self.dtype)
-            return jnp.einsum("bd,vd->bv", last, w,
-                              preferred_element_type=jnp.float32)
-        return self.tgt_word_prj(last).astype(jnp.float32)
+        return self._project(last[:, None])[:, 0].astype(jnp.float32)
+
+    def compute_cross_kv(self, enc_output: Array):
+        """Public K/V precompute for search drivers (decode/beam.py)."""
+        return self._compute_kv(enc_output)
