@@ -60,6 +60,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--beam-size", type=int, default=None,
                    help="beam search width for unidirectional eval "
                         "(default: greedy)")
+    p.add_argument("--freeze", type=str, default=None,
+                   help="comma-separated param subtrees to freeze, e.g. "
+                        "'frontend,encoder' (reference requires_grad stages)")
     p.add_argument("--bigram-lm", action="store_true",
                    help="bias beam search with a bigram LM built from the "
                         "train labels (LRW-1000 protocol)")
@@ -110,6 +113,9 @@ def config_from_args(args) -> C.WorkloadConfig:
         data = dataclasses.replace(data, **data_over)
     over = dict(dims=dims, optim=optim, decoder=decoder, data=data,
                 mesh=C.MeshConfig(data=args.mesh_data, model=args.mesh_model))
+    if args.freeze:
+        over["freeze_prefixes"] = tuple(
+            s.strip() for s in args.freeze.split(",") if s.strip())
     if args.batch_size is not None:
         over["batch_size"] = args.batch_size
     if args.compute_dtype is not None:
