@@ -113,7 +113,10 @@ class WorkloadConfig:
     num_word_classes: int = 1500
     num_languages: int = 2
     language_loss_weight: float = 0.1
-    use_pallas_attention: bool = False
+    # fused small-T Pallas attention (ops/attention.py::fused_small_mha):
+    # ~1.5x end-to-end inference; auto-disabled off-TPU and in
+    # dropout-active training
+    use_pallas_attention: bool = True
     # rematerialize ResNet blocks in backward (activation-memory saver for
     # the reference's batch-240 recipe on a 16 GB chip)
     remat_frontend: bool = True

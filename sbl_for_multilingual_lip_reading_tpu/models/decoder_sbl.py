@@ -128,7 +128,7 @@ class _SBLLayer(nn.Module):
             h, h, h, mask=slf_mask, deterministic=deterministic)
         h = CachedCrossAttention(
             self.d_model, self.n_head, self.d_k, self.d_v, self.dropout,
-            self.dtype, name="cross")(
+            self.dtype, self.use_pallas, name="cross")(
             h, kh, vh, deterministic=deterministic)
         return PositionwiseFeedForward(
             self.d_model, self.d_inner, self.dropout, self.dtype,

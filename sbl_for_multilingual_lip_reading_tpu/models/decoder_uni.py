@@ -87,7 +87,8 @@ class UniDecoder(nn.Module):
             for _ in range(self.n_layers)]
         self.enc_attn = [
             CachedCrossAttention(self.d_model, self.n_head, self.d_k,
-                                 self.d_v, self.dropout, self.dtype)
+                                 self.d_v, self.dropout, self.dtype,
+                                 self.use_pallas)
             for _ in range(self.n_layers)]
         self.pos_ffn = [
             PositionwiseFeedForward(self.d_model, self.d_inner, self.dropout,

@@ -79,18 +79,19 @@ class MultiHeadAttention(nn.Module):
         scale = 1.0 / np.sqrt(d_k)
         use_pallas = self.use_pallas and (deterministic or self.dropout == 0.0)
         if use_pallas:
-            # fused VMEM kernel (no attention-prob dropout path)
-            from ..ops.attention import available, fused_mha
+            # fused small-T VMEM kernel in the projections' natural
+            # (B, T, H, d) layout (no attention-prob dropout path)
+            from ..ops.attention import available, fused_small_mha
             if available():
                 bias = None
                 if mask is not None:
-                    bias = jnp.where(jnp.broadcast_to(mask, (B, Tq, Tk)),
-                                     _MASK_FILL, 0.0).astype(jnp.float32)[:, None]
-                ctx = fused_mha(jnp.transpose(qh, (0, 2, 1, 3)),
-                                jnp.transpose(kh, (0, 2, 1, 3)),
-                                jnp.transpose(vh, (0, 2, 1, 3)),
-                                bias=bias, scale=scale)
-                ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(B, Tq, h * d_v)
+                    mb = mask.shape[0]
+                    bias = jnp.where(
+                        jnp.broadcast_to(mask, (mb, Tq, Tk)) if mask.ndim == 3
+                        else mask, _MASK_FILL, 0.0).astype(jnp.float32)
+                    bias = jnp.broadcast_to(bias, (mb, Tq, Tk))
+                ctx = fused_small_mha(qh, kh, vh, bias=bias, scale=scale)
+                ctx = ctx.reshape(B, Tq, h * d_v)
             else:
                 use_pallas = False
         if not use_pallas:
@@ -150,6 +151,7 @@ class CachedCrossAttention(nn.Module):
     d_v: int
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, q: Array, kh: Array, vh: Array,
@@ -160,20 +162,35 @@ class CachedCrossAttention(nn.Module):
         qk_init = nn.initializers.normal(
             stddev=float(np.sqrt(2.0 / (d_model + d_k))))
         B, Tq, _ = q.shape
+        Tk = kh.shape[1]
         qh = nn.Dense(h * d_k, kernel_init=qk_init, dtype=self.dtype,
                       name="w_qs")(q).reshape(B, Tq, h, d_k)
         scale = 1.0 / np.sqrt(d_k)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
-                            preferred_element_type=jnp.float32) * scale
-        if mask is not None:
-            logits = jnp.where(mask[:, None, :, :], _MASK_FILL, logits)
-        attn = nn.softmax(logits.astype(jnp.float32),
-                          axis=-1).astype(self.dtype)
-        attn = nn.Dropout(self.dropout, name="attn_drop")(
-            attn, deterministic=deterministic)
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, vh,
-                         preferred_element_type=jnp.float32).astype(self.dtype)
-        ctx = ctx.reshape(B, Tq, h * d_v)
+        use_pallas = self.use_pallas and (deterministic or self.dropout == 0.0)
+        if use_pallas:
+            from ..ops.attention import available, fused_small_mha
+            if available():
+                bias = None
+                if mask is not None:
+                    mb = mask.shape[0]
+                    bias = jnp.where(jnp.broadcast_to(mask, (mb, Tq, Tk)),
+                                     _MASK_FILL, 0.0).astype(jnp.float32)
+                ctx = fused_small_mha(qh, kh, vh, bias=bias, scale=scale)
+                ctx = ctx.reshape(B, Tq, h * d_v)
+            else:
+                use_pallas = False
+        if not use_pallas:
+            logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
+                                preferred_element_type=jnp.float32) * scale
+            if mask is not None:
+                logits = jnp.where(mask[:, None, :, :], _MASK_FILL, logits)
+            attn = nn.softmax(logits.astype(jnp.float32),
+                              axis=-1).astype(self.dtype)
+            attn = nn.Dropout(self.dropout, name="attn_drop")(
+                attn, deterministic=deterministic)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, vh,
+                             preferred_element_type=jnp.float32).astype(self.dtype)
+            ctx = ctx.reshape(B, Tq, h * d_v)
         out = nn.Dense(d_model, kernel_init=nn.initializers.xavier_normal(),
                        dtype=self.dtype, name="fc")(ctx)
         out = nn.Dropout(self.dropout, name="out_drop")(

@@ -108,3 +108,90 @@ def mask_to_bias(mask: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     """Boolean mask (True = disallowed), broadcastable to (B, Tq, Tk) ->
     additive bias (B, 1, Tq, Tk)."""
     return jnp.where(mask, -1e9, 0.0).astype(dtype)[:, None, :, :]
+
+
+def _pick_tile(b: int, cap: int = 32) -> int:
+    for t in (cap, 16, 8, 4, 2, 1):
+        if t <= b and b % t == 0:
+            return t
+    return 1
+
+
+def fused_small_mha(qh: jnp.ndarray, kh: jnp.ndarray, vh: jnp.ndarray,
+                    bias: Optional[jnp.ndarray] = None,
+                    scale: Optional[float] = None,
+                    interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Fused attention for SHORT sequences in the projections' natural
+    (B, T, H, d) layout -- the shape this model's decode actually produces.
+
+    XLA's path materializes the (B, H, Tq, Tk) score tensor in HBM where the
+    tiny Tq/Tk dims tile-pad ~7x, and inserts (B,T,H,d)->(B,H,T,d)
+    transposes around every einsum; for the SBL decode (T<=17, 16 steps x
+    12 layers) that padding traffic dominates the whole step.  This kernel
+    keeps scores entirely in VMEM, uses batched ``dot_general`` over the
+    (tile, head) dims, and reads/writes only the unpadded (B, T, H, d)
+    tensors.
+
+    bias: optional additive (1|B, Tq, Tk) float (broadcast over heads).
+    """
+    B, Tq, H, d = qh.shape
+    Tk = kh.shape[1]
+    if scale is None:
+        scale = 1.0 / np.sqrt(d)
+    if interpret is None:
+        interpret = not available()
+    Bt = _pick_tile(B)
+    out_dtype = qh.dtype
+    has_bias = bias is not None
+    bias_b = bias.shape[0] if has_bias else 1
+
+    def kernel(*refs):
+        if has_bias:
+            q_ref, k_ref, v_ref, b_ref, o_ref = refs
+        else:
+            q_ref, k_ref, v_ref, o_ref = refs
+        q = q_ref[...].astype(jnp.float32)      # (Bt, Tq, H, d)
+        k = k_ref[...].astype(jnp.float32)      # (Bt, Tk, H, d)
+        v = v_ref[...].astype(jnp.float32)
+        # Mosaic matmul supports a single batch dim: fold (tile, head)
+        # into one axis with VMEM-local transposes
+        qf = jnp.transpose(q, (0, 2, 1, 3)).reshape(Bt * H, Tq, d)
+        kf = jnp.transpose(k, (0, 2, 1, 3)).reshape(Bt * H, Tk, d)
+        vf = jnp.transpose(v, (0, 2, 1, 3)).reshape(Bt * H, Tk, d)
+        s = jax.lax.dot_general(
+            qf, kf, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # (Bt*H, Tq, Tk)
+        s = s * scale
+        if has_bias:
+            b = b_ref[...].astype(jnp.float32)   # (1|Bt, Tq, Tk)
+            s = s.reshape(Bt, H, Tq, Tk) + b[:, None]
+            s = s.reshape(Bt * H, Tq, Tk)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p, vf, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # (Bt*H, Tq, d)
+        o = jnp.transpose(o.reshape(Bt, H, Tq, d), (0, 2, 1, 3))
+        o_ref[...] = o.astype(o_ref.dtype)
+
+    in_specs = [
+        pl.BlockSpec((Bt, Tq, H, d), lambda i: (i, 0, 0, 0)),
+        pl.BlockSpec((Bt, Tk, H, d), lambda i: (i, 0, 0, 0)),
+        pl.BlockSpec((Bt, Tk, H, d), lambda i: (i, 0, 0, 0)),
+    ]
+    args = [qh, kh, vh]
+    if has_bias:
+        in_specs.append(pl.BlockSpec(
+            (Bt if bias_b != 1 else 1, Tq, Tk),
+            (lambda i: (i, 0, 0)) if bias_b != 1 else (lambda i: (0, 0, 0))))
+        args.append(bias)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, Tq, H, d), out_dtype),
+        grid=(B // Bt,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((Bt, Tq, H, d), lambda i: (i, 0, 0, 0)),
+        interpret=interpret,
+    )(*args)

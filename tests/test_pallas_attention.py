@@ -49,3 +49,33 @@ def test_fused_mha_cross_attention_lengths():
     out = fused_mha(q, k, v, interpret=True)
     expect = _xla_reference(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(expect), atol=1e-5)
+
+
+def test_fused_small_mha_matches_xla():
+    from sbl_for_multilingual_lip_reading_tpu.ops.attention import (
+        fused_small_mha)
+    rng = jax.random.PRNGKey(3)
+    B, Tq, Tk, H, d = 4, 17, 30, 8, 16
+    qh = jax.random.normal(rng, (B, Tq, H, d))
+    kh = jax.random.normal(jax.random.fold_in(rng, 1), (B, Tk, H, d))
+    vh = jax.random.normal(jax.random.fold_in(rng, 2), (B, Tk, H, d))
+    out = fused_small_mha(qh, kh, vh, interpret=True)
+    s = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) / np.sqrt(d)
+    expect = jnp.einsum("bhqk,bkhd->bqhd", jax.nn.softmax(s, -1), vh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect), atol=1e-5)
+
+
+def test_fused_small_mha_bias_broadcast_and_per_batch():
+    from sbl_for_multilingual_lip_reading_tpu.ops.attention import (
+        fused_small_mha)
+    rng = jax.random.PRNGKey(4)
+    B, T, H, d = 4, 9, 4, 16
+    qh, kh, vh = (jax.random.normal(jax.random.fold_in(rng, i), (B, T, H, d))
+                  for i in range(3))
+    causal = jnp.where(M.causal_mask(T), -1e9, 0.0).astype(jnp.float32)
+    for bias in (causal[None], jnp.tile(causal[None], (B, 1, 1))):
+        out = fused_small_mha(qh, kh, vh, bias=bias, interpret=True)
+        s = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) / np.sqrt(d) + bias[:, None]
+        expect = jnp.einsum("bhqk,bkhd->bqhd", jax.nn.softmax(s, -1), vh)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                                   atol=1e-5)
