@@ -240,6 +240,9 @@ class SBLDecoder(nn.Module):
     # 16 steps x 12 layers of (B, 17, d_inner) activations (~1.6 GB at the
     # reference batch 240)
     remat: bool = True
+    # number of growing-buffer scan segments (see _segments); 1 = single
+    # full-width scan
+    decode_segments: int = 4
 
     def setup(self):
         step_cls = _SBLStep
@@ -271,19 +274,47 @@ class SBLDecoder(nn.Module):
             for _ in range(self.n_layers)
         ]
 
+    def _segments(self):
+        """Split the decode into segments of growing buffer width.
+
+        Step i only ever touches positions [0, i+1], so early steps can run
+        on narrow token buffers: with 4 segments over 16 steps the per-step
+        widths are 5/9/13/17 instead of a constant 17 -- ~35% less decode
+        compute for identical results (verified by
+        test_decode_segments_equivalent)."""
+        k = max(1, min(self.decode_segments, self.maxlen))
+        bounds = [round(self.maxlen * (i + 1) / k) for i in range(k)]
+        out = []
+        start = 0
+        for b in bounds:
+            if b > start:
+                out.append((start, b))
+                start = b
+        return out
+
     def _run(self, enc_output: Array, gold_l2r: Array, gold_r2l: Array,
              use_gold: Array, deterministic: bool):
         B = enc_output.shape[0]
         L = self.maxlen + 1
-        ys0 = jnp.full((B, L), SOS_ID, dtype=jnp.int32)
-        xs = (jnp.arange(self.maxlen, dtype=jnp.int32),   # step
-              use_gold,                                   # (maxlen,) bool
-              gold_l2r.T,                                 # (maxlen, B)
-              gold_r2l.T)
+        ys_l2r = jnp.full((B, L), SOS_ID, dtype=jnp.int32)
+        ys_r2l = jnp.full((B, L), SOS_ID, dtype=jnp.int32)
+        steps = jnp.arange(self.maxlen, dtype=jnp.int32)
+        gl, gr = gold_l2r.T, gold_r2l.T               # (maxlen, B)
         enc = enc_output.astype(self.dtype)
         enc_kv = tuple(kv(enc) for kv in self.cross_kv)
-        (ys_l2r, ys_r2l), (lg_l2r, lg_r2l) = self.step(
-            (ys0, ys0), enc_kv, deterministic, xs)
+        lg_l2r_parts, lg_r2l_parts = [], []
+        for (a, b) in self._segments():
+            Lseg = b + 1
+            xs = (steps[a:b], use_gold[a:b], gl[a:b], gr[a:b])
+            (seg_l2r, seg_r2l), (lg_l2r, lg_r2l) = self.step(
+                (ys_l2r[:, :Lseg], ys_r2l[:, :Lseg]), enc_kv, deterministic,
+                xs)
+            ys_l2r = ys_l2r.at[:, :Lseg].set(seg_l2r)
+            ys_r2l = ys_r2l.at[:, :Lseg].set(seg_r2l)
+            lg_l2r_parts.append(lg_l2r)
+            lg_r2l_parts.append(lg_r2l)
+        lg_l2r = jnp.concatenate(lg_l2r_parts, axis=0)
+        lg_r2l = jnp.concatenate(lg_r2l_parts, axis=0)
         # (maxlen, B, V) -> (B, maxlen, V)
         return (ys_l2r, ys_r2l,
                 jnp.transpose(lg_l2r, (1, 0, 2)),

@@ -11,11 +11,11 @@ V, DM, T_ENC = 12, 32, 5
 MAXLEN = 6
 
 
-def make_decoder(fusion="symmetric", tf_rate=0.5, dropout=0.0):
+def make_decoder(fusion="symmetric", tf_rate=0.5, dropout=0.0, segments=4):
     return SBLDecoder(vocab_size=V, d_model=DM, n_layers=2, n_head=4,
                       d_k=8, d_v=8, d_inner=64, dropout=dropout,
                       maxlen=MAXLEN, fusion_mode=fusion,
-                      teacher_forcing_rate=tf_rate)
+                      teacher_forcing_rate=tf_rate, decode_segments=segments)
 
 
 @pytest.fixture(scope="module")
@@ -137,3 +137,18 @@ def test_fusion_modes_differ(setup):
     p_ali, _, _, _ = dec_a.apply(params, labels, labels_r, enc,
                                  deterministic=True)
     assert not np.allclose(np.asarray(p_sym), np.asarray(p_ali))
+
+
+def test_decode_segments_equivalent(setup):
+    """Segmented growing-buffer decode must equal the single-scan decode."""
+    dec, params, enc, labels, labels_r = setup
+    dec1 = make_decoder(tf_rate=1.0, segments=1)
+    dec4 = make_decoder(tf_rate=1.0, segments=4)
+    ys1 = dec1.apply(params, enc, method=dec1.recognize)
+    ys4 = dec4.apply(params, enc, method=dec4.recognize)
+    np.testing.assert_array_equal(np.asarray(ys1[0]), np.asarray(ys4[0]))
+    np.testing.assert_array_equal(np.asarray(ys1[1]), np.asarray(ys4[1]))
+    p1 = dec1.apply(params, labels, labels_r, enc, deterministic=True)
+    p4 = dec4.apply(params, labels, labels_r, enc, deterministic=True)
+    np.testing.assert_allclose(np.asarray(p1[0]), np.asarray(p4[0]),
+                               atol=1e-4)
