@@ -108,7 +108,7 @@ def import_frontend(sd: Dict[str, np.ndarray], resnet_blocks=(2, 2, 2, 2),
     P: Dict = {}
     S: Dict = {}
     w = np.asarray(sd[prefix + "frontend3D.0.weight"]).transpose(2, 3, 4, 1, 0)
-    P["conv3d"] = {"kernel": w}
+    P["conv3d_kernel"] = w
     _set_bn(P, S, ["bn3d"], sd, prefix + "frontend3D.1")
     P["resnet"] = {}
     S["resnet"] = {}
