@@ -117,9 +117,19 @@ class Trainer:
     """Config-driven trainer covering all four workloads."""
 
     def __init__(self, cfg, train_dataset, valid_datasets: Optional[Dict] = None,
-                 checkpoint_dir: Optional[str] = None, mesh=None):
+                 checkpoint_dir: Optional[str] = None, mesh=None,
+                 tensorboard_dir: Optional[str] = None,
+                 halt_on_nan: bool = True):
         self.cfg = cfg
         self.logger = get_logger()
+        self.writer = None
+        if tensorboard_dir:
+            from ..utils.tensorboard import SummaryWriter
+            self.writer = SummaryWriter(tensorboard_dir)
+        # failure detection: the reference has none (SURVEY.md §5); a NaN
+        # loss here halts with a diagnostic instead of silently corrupting
+        # the optimizer state
+        self.halt_on_nan = halt_on_nan
         self.model = build_model(cfg)
         self.rng = jax.random.PRNGKey(cfg.seed)
         self.np_rng = np.random.default_rng(cfg.seed)
@@ -164,7 +174,16 @@ class Trainer:
             if max_steps is not None and i >= max_steps:
                 break
             self.state, metrics = self.train_step(self.state, batch, self.rng)
-            losses.update(float(metrics["loss"]))
+            loss = float(metrics["loss"])
+            if self.halt_on_nan and not np.isfinite(loss):
+                raise FloatingPointError(
+                    f"non-finite loss {loss} at step {int(self.state.step)} "
+                    f"(epoch {epoch}, batch {i}); metrics="
+                    f"{ {k: float(v) for k, v in metrics.items()} }")
+            losses.update(loss)
+            if self.writer is not None:
+                self.writer.add_scalar("train/loss", loss,
+                                       int(self.state.step))
             if i % 50 == 0:
                 self.logger.info(
                     f"Epoch: [{epoch}][{i}/{len(batcher)}]\t"
@@ -249,6 +268,10 @@ class Trainer:
                 for name, ds in self.valid_datasets.items():
                     last[name] = self.validate_seq2seq(ds, max_eval_batches)
                     self.logger.info(f"{name}: {last[name]}")
+                    if self.writer is not None:
+                        for k, v in last[name].items():
+                            self.writer.add_scalar(f"{name}/{k}", v,
+                                                   int(self.state.step))
                     wer_sum += last[name]["l2r_wer"]
                 if last:
                     # best = l2r_wer_lrw + l2r_wer_lrw1000 (train.py:165-167)
