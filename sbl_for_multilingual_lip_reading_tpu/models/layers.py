@@ -77,7 +77,9 @@ class MultiHeadAttention(nn.Module):
         vh = wv(v).reshape(B, Tk, h, d_v)
 
         scale = 1.0 / np.sqrt(d_k)
-        use_pallas = self.use_pallas and (deterministic or self.dropout == 0.0)
+        # inference-only: pallas_call has no autodiff rule (a custom_vjp
+        # kernel is future work), so training always takes the XLA path
+        use_pallas = self.use_pallas and deterministic
         if use_pallas:
             # fused small-T VMEM kernel in the projections' natural
             # (B, T, H, d) layout (no attention-prob dropout path)
@@ -166,7 +168,7 @@ class CachedCrossAttention(nn.Module):
         qh = nn.Dense(h * d_k, kernel_init=qk_init, dtype=self.dtype,
                       name="w_qs")(q).reshape(B, Tq, h, d_k)
         scale = 1.0 / np.sqrt(d_k)
-        use_pallas = self.use_pallas and (deterministic or self.dropout == 0.0)
+        use_pallas = self.use_pallas and deterministic
         if use_pallas:
             from ..ops.attention import available, fused_small_mha
             if available():
