@@ -111,6 +111,27 @@ def extract_fbank(y: np.ndarray, sr: int = 16000, dim: int = 80,
     return feat.astype(np.float32)
 
 
+def extract_mfcc(y: np.ndarray, sr: int = 16000, n_mfcc: int = 80,
+                 n_mels: int = 26, window_ms: int = 25, stride_ms: int = 10,
+                 trim: bool = True) -> np.ndarray:
+    """Waveform -> (T, n_mfcc) MFCCs via DCT-II of the log-mel spectrogram
+    (the reference's feature='mfcc' branch, utils.py:213-216; its cepstral-0
+    RMS substitution is omitted -- dead code in the reference)."""
+    if trim:
+        y = energy_trim(y, sr)
+    y = peak_normalize(y)
+    ws = int(sr * 0.001 * window_ms)
+    st = int(sr * 0.001 * stride_ms)
+    power = stft_power(y, ws, st)
+    fb = mel_filterbank(sr, ws, n_mels)
+    logmel = np.log(power @ fb.T + 1e-6)          # (T, n_mels)
+    k = np.arange(n_mfcc)[:, None]
+    n = np.arange(n_mels)[None, :]
+    dct = np.cos(np.pi / n_mels * (n + 0.5) * k) * np.sqrt(2.0 / n_mels)
+    dct[0] *= 1.0 / np.sqrt(2.0)                  # ortho norm
+    return (logmel @ dct.T).astype(np.float32)
+
+
 def build_lfr_features(inputs: np.ndarray, m: int = 4, n: int = 3
                        ) -> np.ndarray:
     """Low-frame-rate stacking: concat m frames, hop n (reference

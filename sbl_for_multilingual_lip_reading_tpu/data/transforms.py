@@ -92,6 +92,22 @@ def frame_removal(clip: np.ndarray, rng: np.random.Generator,
     return clip
 
 
+def random_drop(clip: np.ndarray, rng: np.random.Generator,
+                p: float = 0.05) -> np.ndarray:
+    """Randomly delete frames and repeat-fill from the tail to keep length
+    (the LRW project's cvtransforms RandomDrop,
+    VSR_seq2seq_Transformer_with_phonemes_LRW/cvtransforms.py)."""
+    T = clip.shape[0]
+    keep = rng.random(T) >= p
+    keep[0] = True  # never drop everything
+    kept = clip[keep]
+    out = np.empty_like(clip)
+    out[:len(kept)] = kept
+    if len(kept) < T:
+        out[len(kept):] = kept[-1]
+    return out
+
+
 def frame_zero(clip: np.ndarray, rng: np.random.Generator,
                p: float = 0.1) -> np.ndarray:
     """Zero frames w.p. p (data_gen.py:110-120; unused by the reference)."""

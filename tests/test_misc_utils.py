@@ -79,3 +79,62 @@ def test_batcher_multihost_stripes():
         ids0 = {bytes(c) for c in x0["clip_u8"].reshape(4, -1)}
         ids1 = {bytes(c) for c in x1["clip_u8"].reshape(4, -1)}
         assert not (ids0 & ids1)
+
+
+def test_hypotheses_helpers(tmp_path):
+    from sbl_for_multilingual_lip_reading_tpu.utils.hypotheses import (
+        process_dict, parse_hypothesis, add_results_to_json,
+        beam_outputs_to_hyps)
+    d = tmp_path / "dict.txt"
+    d.write_bytes(b"<sos> 0\n<eos> 1\na 2\nb 3\n<space> 4\n")
+    chars, sos, eos = process_dict(str(d))
+    assert (sos, eos) == (0, 1) and chars[2] == "a"
+    hyp = {"yseq": [0, 2, 4, 3, 1], "score": -1.5}
+    text, token, tokenid, score = parse_hypothesis(hyp, chars)
+    assert text == "a b<eos>".replace("<eos>", "<eos>")  # joined tokens
+    assert tokenid == "2 4 3 1" and score == -1.5
+    js = {"utt2spk": "spk1", "output": [{"name": "utt1", "text": "ab"}]}
+    out = add_results_to_json(js, [hyp], chars)
+    assert out["output"][0]["name"] == "utt1[1]"
+    assert out["output"][0]["rec_tokenid"] == "2 4 3 1"
+    hyps = beam_outputs_to_hyps(np.zeros((2, 3, 5), np.int32),
+                                np.zeros((2, 3), np.float32))
+    assert len(hyps) == 2 and len(hyps[0]) == 3
+
+
+def test_random_drop_transform():
+    from sbl_for_multilingual_lip_reading_tpu.data.transforms import (
+        random_drop)
+    rng = np.random.default_rng(0)
+    clip = np.arange(30, dtype=np.float32)[:, None, None] * np.ones((1, 2, 2))
+    out = random_drop(clip, rng, p=0.3)
+    assert out.shape == clip.shape
+    vals = out[:, 0, 0]
+    # kept frames stay ordered; tail repeats the last kept frame
+    kept = vals[np.concatenate([[True], np.diff(vals) > 0])]
+    assert np.all(np.diff(kept) > 0)
+    assert vals[-1] == kept[-1]
+
+
+def test_mfcc_shape():
+    from sbl_for_multilingual_lip_reading_tpu.data.audio import extract_mfcc
+    sr = 16000
+    y = np.sin(2 * np.pi * 400 * np.arange(sr) / sr).astype(np.float32)
+    feat = extract_mfcc(y, sr=sr, n_mfcc=13, trim=False)
+    assert feat.shape[1] == 13
+    assert 90 <= feat.shape[0] <= 110
+    assert np.isfinite(feat).all()
+
+
+def test_trainer_nan_guard():
+    import dataclasses
+    import pytest
+    from sbl_for_multilingual_lip_reading_tpu import config as C
+    from sbl_for_multilingual_lip_reading_tpu.training import Trainer
+    cfg = C.tiny_test("sbl")
+    ds = SyntheticLipDataset(size=2, frames=cfg.data.frames,
+                             raw_size=cfg.data.raw_size)
+    tr = Trainer(cfg, ds)
+    tr.train_step = lambda s, b, r: (s, {"loss": np.float32("nan")})
+    with pytest.raises(FloatingPointError):
+        tr.train_epoch(0, max_steps=1)
