@@ -77,13 +77,14 @@ class MultiHeadAttention(nn.Module):
         vh = wv(v).reshape(B, Tk, h, d_v)
 
         scale = 1.0 / np.sqrt(d_k)
-        # inference-only: pallas_call has no autodiff rule (a custom_vjp
-        # kernel is future work), so training always takes the XLA path
-        use_pallas = self.use_pallas and deterministic
+        # the fused kernel has no attention-prob dropout path, so training
+        # with dropout>0 takes the XLA path; with dropout==0 the
+        # custom_vjp variant (small_mha_grad) supplies exact gradients
+        use_pallas = self.use_pallas and (deterministic
+                                          or self.dropout == 0.0)
         if use_pallas:
-            # fused small-T VMEM kernel in the projections' natural
-            # (B, T, H, d) layout (no attention-prob dropout path)
-            from ..ops.attention import available, fused_small_mha
+            from ..ops.attention import (available, fused_small_mha,
+                                         small_mha_grad)
             if available():
                 bias = None
                 if mask is not None:
@@ -92,7 +93,10 @@ class MultiHeadAttention(nn.Module):
                         jnp.broadcast_to(mask, (mb, Tq, Tk)) if mask.ndim == 3
                         else mask, _MASK_FILL, 0.0).astype(jnp.float32)
                     bias = jnp.broadcast_to(bias, (mb, Tq, Tk))
-                ctx = fused_small_mha(qh, kh, vh, bias=bias, scale=scale)
+                if deterministic:
+                    ctx = fused_small_mha(qh, kh, vh, bias=bias, scale=scale)
+                else:
+                    ctx = small_mha_grad(qh, kh, vh, bias, scale)
                 ctx = ctx.reshape(B, Tq, h * d_v)
             else:
                 use_pallas = False
@@ -168,16 +172,21 @@ class CachedCrossAttention(nn.Module):
         qh = nn.Dense(h * d_k, kernel_init=qk_init, dtype=self.dtype,
                       name="w_qs")(q).reshape(B, Tq, h, d_k)
         scale = 1.0 / np.sqrt(d_k)
-        use_pallas = self.use_pallas and deterministic
+        use_pallas = self.use_pallas and (deterministic
+                                          or self.dropout == 0.0)
         if use_pallas:
-            from ..ops.attention import available, fused_small_mha
+            from ..ops.attention import (available, fused_small_mha,
+                                         small_mha_grad)
             if available():
                 bias = None
                 if mask is not None:
                     mb = mask.shape[0]
                     bias = jnp.where(jnp.broadcast_to(mask, (mb, Tq, Tk)),
                                      _MASK_FILL, 0.0).astype(jnp.float32)
-                ctx = fused_small_mha(qh, kh, vh, bias=bias, scale=scale)
+                if deterministic:
+                    ctx = fused_small_mha(qh, kh, vh, bias=bias, scale=scale)
+                else:
+                    ctx = small_mha_grad(qh, kh, vh, bias, scale)
                 ctx = ctx.reshape(B, Tq, h * d_v)
             else:
                 use_pallas = False

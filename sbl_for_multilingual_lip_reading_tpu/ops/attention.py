@@ -104,6 +104,124 @@ def fused_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     )(*args)
 
 
+def _small_mha_bwd_kernel(q_ref, k_ref, v_ref, b_ref, do_ref,
+                          dq_ref, dk_ref, dv_ref, *, scale, Bt, H,
+                          has_bias):
+    """Backward for the small-T fused attention (recompute p in VMEM).
+
+    With out = softmax(q k^T s + b) v and g = do:
+      dv = p^T g;  dp = g v^T;  ds = p * (dp - rowsum(dp * p));
+      dq = ds k * s;  dk = ds^T q * s.
+    """
+    Tq = q_ref.shape[1]
+    Tk = k_ref.shape[1]
+    d = q_ref.shape[3]
+    q = jnp.transpose(q_ref[...].astype(jnp.float32),
+                      (0, 2, 1, 3)).reshape(Bt * H, Tq, d)
+    k = jnp.transpose(k_ref[...].astype(jnp.float32),
+                      (0, 2, 1, 3)).reshape(Bt * H, Tk, d)
+    v = jnp.transpose(v_ref[...].astype(jnp.float32),
+                      (0, 2, 1, 3)).reshape(Bt * H, Tk, d)
+    g = jnp.transpose(do_ref[...].astype(jnp.float32),
+                      (0, 2, 1, 3)).reshape(Bt * H, Tq, d)
+    s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32) * scale
+    if has_bias:
+        b = b_ref[...].astype(jnp.float32)
+        s = (s.reshape(Bt, H, Tq, Tk) + b[:, None]).reshape(Bt * H, Tq, Tk)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    # dp = g @ v^T
+    dp = jax.lax.dot_general(g, v, (((2,), (2,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jax.lax.dot_general(ds, k, (((2,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32) * scale
+    # dk = ds^T @ q : contract Tq
+    dk = jax.lax.dot_general(ds, q, (((1,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32) * scale
+    dv = jax.lax.dot_general(p, g, (((1,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+
+    def unfold(x, T):
+        return jnp.transpose(x.reshape(Bt, H, T, d), (0, 2, 1, 3))
+
+    dq_ref[...] = unfold(dq, Tq).astype(dq_ref.dtype)
+    dk_ref[...] = unfold(dk, Tk).astype(dk_ref.dtype)
+    dv_ref[...] = unfold(dv, Tk).astype(dv_ref.dtype)
+
+
+def _small_mha_bwd(qh, kh, vh, bias, scale, do, interpret):
+    B, Tq, H, d = qh.shape
+    Tk = kh.shape[1]
+    Bt = _pick_tile(B)
+    has_bias = bias is not None
+    bias_b = bias.shape[0] if has_bias else 1
+    import functools as _ft
+    kernel = _ft.partial(_small_mha_bwd_kernel, scale=scale, Bt=Bt, H=H,
+                         has_bias=has_bias)
+    if not has_bias:
+        def kernel_nb(q_ref, k_ref, v_ref, do_ref, dq, dk, dv):
+            _small_mha_bwd_kernel(q_ref, k_ref, v_ref, None, do_ref,
+                                  dq, dk, dv, scale=scale, Bt=Bt, H=H,
+                                  has_bias=False)
+        kernel = kernel_nb
+    in_specs = [
+        pl.BlockSpec((Bt, Tq, H, d), lambda i: (i, 0, 0, 0)),
+        pl.BlockSpec((Bt, Tk, H, d), lambda i: (i, 0, 0, 0)),
+        pl.BlockSpec((Bt, Tk, H, d), lambda i: (i, 0, 0, 0)),
+    ]
+    args = [qh, kh, vh]
+    if has_bias:
+        in_specs.append(pl.BlockSpec(
+            (Bt if bias_b != 1 else 1, Tq, Tk),
+            (lambda i: (i, 0, 0)) if bias_b != 1 else (lambda i: (0, 0, 0))))
+        args.append(bias)
+    in_specs.append(pl.BlockSpec((Bt, Tq, H, d), lambda i: (i, 0, 0, 0)))
+    args.append(do)
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((B, Tq, H, d), qh.dtype),
+                   jax.ShapeDtypeStruct((B, Tk, H, d), kh.dtype),
+                   jax.ShapeDtypeStruct((B, Tk, H, d), vh.dtype)),
+        grid=(B // Bt,),
+        in_specs=in_specs,
+        out_specs=(pl.BlockSpec((Bt, Tq, H, d), lambda i: (i, 0, 0, 0)),
+                   pl.BlockSpec((Bt, Tk, H, d), lambda i: (i, 0, 0, 0)),
+                   pl.BlockSpec((Bt, Tk, H, d), lambda i: (i, 0, 0, 0))),
+        interpret=interpret,
+    )(*args)
+    return dq, dk, dv
+
+
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def small_mha_grad(qh, kh, vh, bias, scale):
+    """Differentiable fused small-T attention (no attention-prob dropout).
+    bias may be None and receives a zero cotangent (it only carries
+    constant masks); ``scale`` must be a static python float."""
+    return fused_small_mha(qh, kh, vh, bias=bias, scale=scale)
+
+
+def _small_mha_fwd(qh, kh, vh, bias, scale):
+    out = fused_small_mha(qh, kh, vh, bias=bias, scale=scale)
+    return out, (qh, kh, vh, bias)
+
+
+def _small_mha_vjp(scale, res, do):
+    qh, kh, vh, bias = res
+    dq, dk, dv = _small_mha_bwd(qh, kh, vh, bias, scale, do,
+                                interpret=not available())
+    dbias = None if bias is None else jnp.zeros_like(bias)
+    return dq, dk, dv, dbias
+
+
+small_mha_grad.defvjp(_small_mha_fwd, _small_mha_vjp)
+
+
 def mask_to_bias(mask: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     """Boolean mask (True = disallowed), broadcastable to (B, Tq, Tk) ->
     additive bias (B, 1, Tq, Tk)."""

@@ -79,3 +79,26 @@ def test_fused_small_mha_bias_broadcast_and_per_batch():
         expect = jnp.einsum("bhqk,bkhd->bqhd", jax.nn.softmax(s, -1), vh)
         np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
                                    atol=1e-5)
+
+
+def test_small_mha_grad_matches_xla_gradients():
+    from sbl_for_multilingual_lip_reading_tpu.ops.attention import (
+        small_mha_grad)
+    rng = jax.random.PRNGKey(5)
+    B, T, H, d = 4, 9, 4, 16
+    qh, kh, vh = (jax.random.normal(jax.random.fold_in(rng, i), (B, T, H, d))
+                  for i in range(3))
+    bias = jnp.where(M.causal_mask(T), -1e9, 0.0)[None].astype(jnp.float32)
+    scale = 1.0 / np.sqrt(d)
+
+    def xla_att(q, k, v):
+        s = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale + bias[:, None]
+        return jnp.einsum("bhqk,bkhd->bqhd", jax.nn.softmax(s, -1), v)
+
+    gp = jax.grad(lambda q, k, v: jnp.sum(
+        small_mha_grad(q, k, v, bias, scale) ** 2), argnums=(0, 1, 2))(
+        qh, kh, vh)
+    gx = jax.grad(lambda q, k, v: jnp.sum(xla_att(q, k, v) ** 2),
+                  argnums=(0, 1, 2))(qh, kh, vh)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
