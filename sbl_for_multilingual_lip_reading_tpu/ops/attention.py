@@ -155,7 +155,10 @@ def _small_mha_bwd_kernel(q_ref, k_ref, v_ref, b_ref, do_ref,
 def _small_mha_bwd(qh, kh, vh, bias, scale, do, interpret):
     B, Tq, H, d = qh.shape
     Tk = kh.shape[1]
-    Bt = _pick_tile(B)
+    # the backward holds ~3x the forward's live tensors (q/k/v/do in, three
+    # grads out, fp32 recompute); tile 16 overflowed the 16 MB scoped VMEM
+    # by 0.6 MB at full dims, so cap at 8
+    Bt = _pick_tile(B, cap=8)
     has_bias = bias is not None
     bias_b = bias.shape[0] if has_bias else 1
     import functools as _ft
