@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -77,14 +78,11 @@ class MultiHeadAttention(nn.Module):
         vh = wv(v).reshape(B, Tk, h, d_v)
 
         scale = 1.0 / np.sqrt(d_k)
-        # the fused kernel has no attention-prob dropout path, so training
-        # with dropout>0 takes the XLA path; with dropout==0 the
-        # custom_vjp variant (small_mha_grad) supplies exact gradients
-        use_pallas = self.use_pallas and (deterministic
-                                          or self.dropout == 0.0)
+        use_pallas = self.use_pallas
         if use_pallas:
             from ..ops.attention import (available, fused_small_mha,
-                                         small_mha_grad)
+                                         small_mha_grad,
+                                         small_mha_dropout_grad)
             if available():
                 bias = None
                 if mask is not None:
@@ -95,8 +93,16 @@ class MultiHeadAttention(nn.Module):
                     bias = jnp.broadcast_to(bias, (mb, Tq, Tk))
                 if deterministic:
                     ctx = fused_small_mha(qh, kh, vh, bias=bias, scale=scale)
-                else:
+                elif self.dropout == 0.0:
                     ctx = small_mha_grad(qh, kh, vh, bias, scale)
+                else:
+                    # in-kernel attention-prob dropout (mask regenerated in
+                    # the backward kernel from the same seed)
+                    seed = jax.random.randint(
+                        self.make_rng("dropout"), (1,), 0, 2_147_483_647,
+                        dtype=jnp.int32)
+                    ctx = small_mha_dropout_grad(qh, kh, vh, bias, seed,
+                                                 scale, self.dropout)
                 ctx = ctx.reshape(B, Tq, h * d_v)
             else:
                 use_pallas = False
@@ -172,11 +178,11 @@ class CachedCrossAttention(nn.Module):
         qh = nn.Dense(h * d_k, kernel_init=qk_init, dtype=self.dtype,
                       name="w_qs")(q).reshape(B, Tq, h, d_k)
         scale = 1.0 / np.sqrt(d_k)
-        use_pallas = self.use_pallas and (deterministic
-                                          or self.dropout == 0.0)
+        use_pallas = self.use_pallas
         if use_pallas:
             from ..ops.attention import (available, fused_small_mha,
-                                         small_mha_grad)
+                                         small_mha_grad,
+                                         small_mha_dropout_grad)
             if available():
                 bias = None
                 if mask is not None:
@@ -185,8 +191,14 @@ class CachedCrossAttention(nn.Module):
                                      _MASK_FILL, 0.0).astype(jnp.float32)
                 if deterministic:
                     ctx = fused_small_mha(qh, kh, vh, bias=bias, scale=scale)
-                else:
+                elif self.dropout == 0.0:
                     ctx = small_mha_grad(qh, kh, vh, bias, scale)
+                else:
+                    seed = jax.random.randint(
+                        self.make_rng("dropout"), (1,), 0, 2_147_483_647,
+                        dtype=jnp.int32)
+                    ctx = small_mha_dropout_grad(qh, kh, vh, bias, seed,
+                                                 scale, self.dropout)
                 ctx = ctx.reshape(B, Tq, h * d_v)
             else:
                 use_pallas = False

@@ -201,6 +201,232 @@ def _small_mha_bwd(qh, kh, vh, bias, scale, do, interpret):
 import functools as _functools
 
 
+# ---------------------------------------------------------------------------
+# Training kernel with in-kernel attention-prob dropout.
+#
+# The dropout mask is regenerated in the backward pass from the same seed
+# (counter-based pltpu PRNG seeded per grid program), so nothing besides
+# q/k/v/bias needs saving -- which also makes it compatible with the decoder
+# scan's rematerialization.  Forward and backward MUST use the same batch
+# tile so per-program mask generation lines up (_TRAIN_TILE).
+# ---------------------------------------------------------------------------
+_TRAIN_TILE = 8
+
+
+def _seed_tile(seed) -> jnp.ndarray:
+    """Broadcast a scalar/(1,) int32 seed into an (8, 128) VMEM tile.  A
+    scalar SMEM input cannot be batched by pallas's vmap rule (the decoder
+    direction-vmaps these kernels); a full (8, 128) tile can."""
+    s0 = jnp.asarray(seed, jnp.int32).reshape(-1)[0]
+    return jnp.full((8, 128), s0, jnp.int32)
+
+
+def _dropout_keep(shape, rate: float):
+    from jax.experimental.pallas import tpu as _pltpu
+    bits = _pltpu.prng_random_bits(shape)
+    bits = _pltpu.bitcast(bits, jnp.uint32)
+    thresh = np.uint32(min(max(rate, 0.0), 1.0) * 4294967296.0)
+    return bits >= thresh
+
+
+def _attend_train(q_ref, k_ref, v_ref, b_ref, seed_ref, scale, rate, Bt, H,
+                  has_bias):
+    """Shared fwd/bwd recompute: returns (q, k, v, p_dropped, p) folded to a
+    single (Bt*H, ...) batch axis, all fp32."""
+    from jax.experimental.pallas import tpu as _pltpu
+    Tq = q_ref.shape[1]
+    Tk = k_ref.shape[1]
+    d = q_ref.shape[3]
+    q = jnp.transpose(q_ref[...].astype(jnp.float32),
+                      (0, 2, 1, 3)).reshape(Bt * H, Tq, d)
+    k = jnp.transpose(k_ref[...].astype(jnp.float32),
+                      (0, 2, 1, 3)).reshape(Bt * H, Tk, d)
+    v = jnp.transpose(v_ref[...].astype(jnp.float32),
+                      (0, 2, 1, 3)).reshape(Bt * H, Tk, d)
+    s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32) * scale
+    if has_bias:
+        b = b_ref[...].astype(jnp.float32)
+        s = (s.reshape(Bt, H, Tq, Tk) + b[:, None]).reshape(Bt * H, Tq, Tk)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    _pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+    keep = _dropout_keep(p.shape, rate)
+    p_drop = jnp.where(keep, p, 0.0) * (1.0 / (1.0 - rate))
+    return q, k, v, p_drop, p, keep
+
+
+def fused_small_mha_dropout_fwd(qh, kh, vh, bias, seed, scale, rate,
+                                interpret=None):
+    """Forward with attention-prob dropout; seed: (1,) int32."""
+    B, Tq, H, d = qh.shape
+    Tk = kh.shape[1]
+    if interpret is None:
+        interpret = not available()
+    Bt = _pick_tile(B, cap=_TRAIN_TILE)
+    has_bias = bias is not None
+
+    def kernel(*refs):
+        if has_bias:
+            q_ref, k_ref, v_ref, b_ref, seed_ref, o_ref = refs
+        else:
+            q_ref, k_ref, v_ref, seed_ref, o_ref = refs
+            b_ref = None
+        _, _, v, p_drop, _, _ = _attend_train(
+            q_ref, k_ref, v_ref, b_ref, seed_ref, scale, rate, Bt, H,
+            has_bias)
+        o = jax.lax.dot_general(p_drop, v, (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        o_ref[...] = jnp.transpose(o.reshape(Bt, H, Tq, d),
+                                   (0, 2, 1, 3)).astype(o_ref.dtype)
+
+    in_specs = [
+        pl.BlockSpec((Bt, Tq, H, d), lambda i: (i, 0, 0, 0)),
+        pl.BlockSpec((Bt, Tk, H, d), lambda i: (i, 0, 0, 0)),
+        pl.BlockSpec((Bt, Tk, H, d), lambda i: (i, 0, 0, 0)),
+    ]
+    args = [qh, kh, vh]
+    if has_bias:
+        bias_b = bias.shape[0]
+        in_specs.append(pl.BlockSpec(
+            (Bt if bias_b != 1 else 1, Tq, Tk),
+            (lambda i: (i, 0, 0)) if bias_b != 1 else (lambda i: (0, 0, 0))))
+        args.append(bias)
+    in_specs.append(pl.BlockSpec((8, 128), lambda i: (0, 0)))
+    args.append(_seed_tile(seed))
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, Tq, H, d), qh.dtype),
+        grid=(B // Bt,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((Bt, Tq, H, d), lambda i: (i, 0, 0, 0)),
+        interpret=interpret,
+    )(*args)
+
+
+def fused_small_mha_dropout_bwd(qh, kh, vh, bias, seed, scale, rate, do,
+                                interpret=None):
+    B, Tq, H, d = qh.shape
+    Tk = kh.shape[1]
+    if interpret is None:
+        interpret = not available()
+    Bt = _pick_tile(B, cap=_TRAIN_TILE)
+    has_bias = bias is not None
+    inv = 1.0 / (1.0 - rate)
+
+    def kernel(*refs):
+        if has_bias:
+            q_ref, k_ref, v_ref, b_ref, seed_ref, do_ref, dq_ref, dk_ref, \
+                dv_ref = refs
+        else:
+            q_ref, k_ref, v_ref, seed_ref, do_ref, dq_ref, dk_ref, \
+                dv_ref = refs
+            b_ref = None
+        q, k, v, p_drop, p, keep = _attend_train(
+            q_ref, k_ref, v_ref, b_ref, seed_ref, scale, rate, Bt, H,
+            has_bias)
+        g = jnp.transpose(do_ref[...].astype(jnp.float32),
+                          (0, 2, 1, 3)).reshape(Bt * H, Tq, d)
+        dv = jax.lax.dot_general(p_drop, g, (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        dpd = jax.lax.dot_general(g, v, (((2,), (2,)), ((0,), (0,))),
+                                  preferred_element_type=jnp.float32)
+        dp = jnp.where(keep, dpd, 0.0) * inv
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dq = jax.lax.dot_general(ds, k, (((2,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(ds, q, (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32) * scale
+
+        def unfold(x, T):
+            return jnp.transpose(x.reshape(Bt, H, T, d), (0, 2, 1, 3))
+        dq_ref[...] = unfold(dq, Tq).astype(dq_ref.dtype)
+        dk_ref[...] = unfold(dk, Tk).astype(dk_ref.dtype)
+        dv_ref[...] = unfold(dv, Tk).astype(dv_ref.dtype)
+
+    in_specs = [
+        pl.BlockSpec((Bt, Tq, H, d), lambda i: (i, 0, 0, 0)),
+        pl.BlockSpec((Bt, Tk, H, d), lambda i: (i, 0, 0, 0)),
+        pl.BlockSpec((Bt, Tk, H, d), lambda i: (i, 0, 0, 0)),
+    ]
+    args = [qh, kh, vh]
+    if has_bias:
+        bias_b = bias.shape[0]
+        in_specs.append(pl.BlockSpec(
+            (Bt if bias_b != 1 else 1, Tq, Tk),
+            (lambda i: (i, 0, 0)) if bias_b != 1 else (lambda i: (0, 0, 0))))
+        args.append(bias)
+    in_specs.append(pl.BlockSpec((8, 128), lambda i: (0, 0)))
+    args.append(_seed_tile(seed))
+    in_specs.append(pl.BlockSpec((Bt, Tq, H, d), lambda i: (i, 0, 0, 0)))
+    args.append(do)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((B, Tq, H, d), qh.dtype),
+                   jax.ShapeDtypeStruct((B, Tk, H, d), kh.dtype),
+                   jax.ShapeDtypeStruct((B, Tk, H, d), vh.dtype)),
+        grid=(B // Bt,),
+        in_specs=in_specs,
+        out_specs=(pl.BlockSpec((Bt, Tq, H, d), lambda i: (i, 0, 0, 0)),
+                   pl.BlockSpec((Bt, Tk, H, d), lambda i: (i, 0, 0, 0)),
+                   pl.BlockSpec((Bt, Tk, H, d), lambda i: (i, 0, 0, 0))),
+        interpret=interpret,
+    )(*args)
+
+
+def dropout_keep_mask(B: int, Tq: int, Tk: int, H: int, seed, rate: float,
+                      interpret=None) -> jnp.ndarray:
+    """Debug/validation helper: materialize the exact keep mask the
+    training kernels generate (same per-program seeding and draw shape).
+    Returns (B, H, Tq, Tk) bool."""
+    if interpret is None:
+        interpret = not available()
+    Bt = _pick_tile(B, cap=_TRAIN_TILE)
+
+    def kernel(seed_ref, o_ref):
+        from jax.experimental.pallas import tpu as _pltpu
+        _pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+        keep = _dropout_keep((Bt * H, Tq, Tk), rate)
+        o_ref[...] = keep.reshape(Bt, H, Tq, Tk)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, H, Tq, Tk), jnp.bool_),
+        grid=(B // Bt,),
+        in_specs=[pl.BlockSpec((8, 128), lambda i: (0, 0))],
+        out_specs=pl.BlockSpec((Bt, H, Tq, Tk), lambda i: (i, 0, 0, 0)),
+        interpret=interpret,
+    )(_seed_tile(seed))
+    return out
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def small_mha_dropout_grad(qh, kh, vh, bias, seed, scale, rate):
+    """Differentiable fused attention WITH attention-prob dropout.
+
+    seed: (1,) int32 (fold in the step/layer so masks differ per call);
+    scale/rate static floats.  The mask regenerates identically in the
+    backward kernel, so remat-safe and O(1) residual memory."""
+    return fused_small_mha_dropout_fwd(qh, kh, vh, bias, seed, scale, rate)
+
+
+def _small_mha_drop_fwd(qh, kh, vh, bias, seed, scale, rate):
+    out = fused_small_mha_dropout_fwd(qh, kh, vh, bias, seed, scale, rate)
+    return out, (qh, kh, vh, bias, seed)
+
+
+def _small_mha_drop_vjp(scale, rate, res, do):
+    qh, kh, vh, bias, seed = res
+    dq, dk, dv = fused_small_mha_dropout_bwd(qh, kh, vh, bias, seed, scale,
+                                             rate, do)
+    dbias = None if bias is None else jnp.zeros_like(bias)
+    return dq, dk, dv, dbias, jnp.zeros_like(seed)
+
+
+small_mha_dropout_grad.defvjp(_small_mha_drop_fwd, _small_mha_drop_vjp)
+
+
 @_functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def small_mha_grad(qh, kh, vh, bias, scale):
     """Differentiable fused small-T attention (no attention-prob dropout).

@@ -1,3 +1,4 @@
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -102,3 +103,36 @@ def test_small_mha_grad_matches_xla_gradients():
                   argnums=(0, 1, 2))(qh, kh, vh)
     for a, b in zip(gp, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="in-kernel PRNG needs TPU")
+def test_dropout_kernel_exact_vs_xla_with_extracted_mask():
+    from sbl_for_multilingual_lip_reading_tpu.ops.attention import (
+        dropout_keep_mask, fused_small_mha_dropout_fwd,
+        small_mha_dropout_grad)
+    rng = jax.random.PRNGKey(0)
+    B, T, H, d = 16, 9, 4, 64
+    qh, kh, vh = (jax.random.normal(jax.random.fold_in(rng, i), (B, T, H, d))
+                  for i in range(3))
+    scale = 1.0 / np.sqrt(d)
+    seed = jnp.array([77], jnp.int32)
+    rate = 0.3
+    keep = dropout_keep_mask(B, T, T, H, seed, rate)
+    frac = float(jnp.mean(keep.astype(jnp.float32)))
+    assert abs(frac - (1 - rate)) < 0.05
+
+    def xla(q, k, v):
+        s = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+        p = jax.nn.softmax(s, -1)
+        return jnp.einsum("bhqk,bkhd->bqhd",
+                          jnp.where(keep, p, 0.0) / (1 - rate), v)
+
+    out = fused_small_mha_dropout_fwd(qh, kh, vh, None, seed, scale, rate)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(xla(qh, kh, vh)),
+                               atol=1e-5)
+    w = jax.random.normal(jax.random.fold_in(rng, 9), (B, T, H, d))
+    gk = jax.grad(lambda q: jnp.sum(
+        small_mha_dropout_grad(q, kh, vh, None, seed, scale, rate) * w))(qh)
+    gx = jax.grad(lambda q: jnp.sum(xla(q, kh, vh) * w))(qh)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gx), atol=2e-3)
