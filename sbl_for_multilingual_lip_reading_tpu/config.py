@@ -56,6 +56,9 @@ class DecoderConfig:
     #              r2l' = 2*r2l + rev(l2r)
     fusion_mode: str = "symmetric"
     teacher_forcing_rate: float = 0.5     # P(use gold) per step (decoder.py:176)
+    # growing-buffer scan segments (see decoder_sbl._segments); more
+    # segments = less padded compute but more compiled scan bodies
+    decode_segments: int = 4
 
 
 @dataclasses.dataclass(frozen=True)
@@ -181,8 +184,13 @@ def tiny_test(name: str = "sbl") -> WorkloadConfig:
                         resnet_blocks=(1, 1, 1, 1), feature_dim=64)
     base = {"sbl": sbl, "lrw": lrw_seq2seq, "lrw1000": lrw1000_seq2seq,
             "classify": classify}[name]()
+    decoder = base.decoder
+    if decoder is not None:
+        # short decode + one scan segment: faster CPU-test compiles
+        decoder = dataclasses.replace(decoder, maxlen=8, decode_segments=1)
     return dataclasses.replace(
-        base, dims=dims, frontend=fe, batch_size=2, compute_dtype="float32",
+        base, dims=dims, frontend=fe, decoder=decoder, batch_size=2,
+        compute_dtype="float32",
         data=dataclasses.replace(base.data, frames=30 if name != "classify" else 31,
                                  raw_size=40, crop_size=32),
         # short warmup so a handful of test steps sees a usable lr

@@ -32,7 +32,8 @@ def build_model(cfg):
             dropout=cfg.dims.dropout, pe_maxlen=cfg.dims.pe_maxlen,
             maxlen=d.maxlen, fusion_mode=d.fusion_mode,
             teacher_forcing_rate=d.teacher_forcing_rate, dtype=dtype,
-            use_pallas=cfg.use_pallas_attention)
+            use_pallas=cfg.use_pallas_attention,
+            decode_segments=d.decode_segments)
         return SBLTransformer(frontend, encoder, decoder)
     decoder = UniDecoder(
         vocab_size=d.vocab_size, d_model=cfg.dims.d_model,
