@@ -134,6 +134,9 @@ class VisualFrontend(nn.Module):
         xp = jnp.pad(x[..., 0], ((0, 0), (kt // 2, kt // 2), (0, 0), (0, 0)))
         xs = jnp.stack([xp[:, i:i + T] for i in range(kt)], axis=-1)
         xs = xs.reshape(B * T, S, S, kt)
+        # keep XLA from fusing the frame-stack into the conv: fused, it
+        # picks a pathological layout (~5ms slower at B=256)
+        xs = jax.lax.optimization_barrier(xs)
         x = jax.lax.conv_general_dilated(
             xs, k2d, window_strides=(2, 2), padding=((3, 3), (3, 3)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
