@@ -205,7 +205,10 @@ class Trainer:
             beam_fn = make_uni_beam_decoder(self.model, beam_size,
                                             bigram_logp=bigram_logp)
         acc_l2r, acc_r2l = _new_acc(), _new_acc()
-        batcher = Batcher(dataset, self.cfg.batch_size, shuffle=False)
+        # evaluate every sample: keep the ragged tail batch (one extra
+        # compile for the tail shape)
+        batcher = Batcher(dataset, self.cfg.batch_size, shuffle=False,
+                          drop_last=False)
         for i, batch in enumerate(prefetch_to_device(iter(batcher))):
             if max_batches is not None and i >= max_batches:
                 break
@@ -235,7 +238,8 @@ class Trainer:
     def validate_classify(self, dataset, max_batches: Optional[int] = None
                           ) -> Dict[str, float]:
         n = w_ok = l_ok = 0
-        batcher = Batcher(dataset, self.cfg.batch_size, shuffle=False)
+        batcher = Batcher(dataset, self.cfg.batch_size, shuffle=False,
+                          drop_last=False)
         for i, batch in enumerate(prefetch_to_device(iter(batcher))):
             if max_batches is not None and i >= max_batches:
                 break

@@ -44,7 +44,7 @@ def wer_compute(predict: List[str], truth: List[str]) -> float:
     """Mean word error rate over paired strings (split on spaces).
     Mirrors reference wer_compute (train.py:28-33)."""
     if not truth:
-        return 0.0
+        return float("nan")   # empty eval must not look like a perfect score
     wers = []
     for p, t in zip(predict, truth):
         pw, tw = p.split(" "), t.split(" ")
@@ -55,7 +55,7 @@ def wer_compute(predict: List[str], truth: List[str]) -> float:
 def per_compute(predict: List[Sequence[str]], truth: List[Sequence[str]]) -> float:
     """Mean phoneme error rate over paired token lists (train.py:39-42)."""
     if not truth:
-        return 0.0
+        return float("nan")   # empty eval must not look like a perfect score
     pers = [levenshtein(p, t) / len(t) for p, t in zip(predict, truth)]
     return float(np.mean(pers))
 
