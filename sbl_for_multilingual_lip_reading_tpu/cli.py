@@ -46,12 +46,26 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic-size", type=int, default=256)
     p.add_argument("--lrw-path", type=str, default=None)
     p.add_argument("--lrw1000-images", type=str, default=None)
-    p.add_argument("--lrw1000-manifest", type=str, default=None)
+    p.add_argument("--lrw1000-manifest", type=str, default=None,
+                   help="TRAIN manifest (trn1.txt-style; also the bigram-LM "
+                        "corpus)")
+    p.add_argument("--lrw1000-eval-manifest", type=str, default=None,
+                   help="eval manifest (val1.txt for training-time "
+                        "validation, tst1.txt for run_test)")
+    p.add_argument("--secondary-batch-size", type=int, default=None,
+                   help="fixed LRW-1000 samples per batch "
+                        "(TwoStreamBatchSampler; classify protocol)")
+    p.add_argument("--profile-dir", type=str, default=None,
+                   help="capture a jax.profiler device trace of a few "
+                        "steady-state steps into this directory")
     p.add_argument("--data-fraction", type=float, default=None,
                    help="reference config.py `p`")
     # parallelism
     p.add_argument("--mesh-data", type=int, default=1)
     p.add_argument("--mesh-model", type=int, default=1)
+    p.add_argument("--no-sync-batchnorm", action="store_true",
+                   help="per-replica (DataParallel-parity) BatchNorm "
+                        "statistics: one stats group per dp shard")
     p.add_argument("--compute-dtype", type=str, default=None)
     p.add_argument("--max-steps-per-epoch", type=int, default=None)
     p.add_argument("--max-eval-batches", type=int, default=None)
@@ -112,7 +126,10 @@ def config_from_args(args) -> C.WorkloadConfig:
     if data_over:
         data = dataclasses.replace(data, **data_over)
     over = dict(dims=dims, optim=optim, decoder=decoder, data=data,
-                mesh=C.MeshConfig(data=args.mesh_data, model=args.mesh_model))
+                mesh=C.MeshConfig(data=args.mesh_data, model=args.mesh_model,
+                                  sync_batchnorm=not args.no_sync_batchnorm))
+    if args.secondary_batch_size is not None:
+        over["secondary_batch_size"] = args.secondary_batch_size
     if args.freeze:
         over["freeze_prefixes"] = tuple(
             s.strip() for s in args.freeze.split(",") if s.strip())
@@ -123,7 +140,13 @@ def config_from_args(args) -> C.WorkloadConfig:
     return dataclasses.replace(cfg, **over)
 
 
-def make_datasets(cfg, args, split: str = "train"):
+def make_datasets(cfg, args, eval_split: str = "val"):
+    """(train dataset, {name: eval dataset}).
+
+    The train dataset always comes from the train split/manifest; only the
+    eval datasets follow ``eval_split`` -- the reference trains against the
+    val splits (train.py:87-92) and ``test.py`` evaluates the LRW *test*
+    split AND an LRW-1000 tst1.txt manifest (test.py:51-311)."""
     from .data import SyntheticLipDataset
     vocab = cfg.name if cfg.name in ("lrw", "lrw1000") else "sbl"
     if args.synthetic or not (args.lrw_path or args.lrw1000_manifest):
@@ -134,31 +157,40 @@ def make_datasets(cfg, args, split: str = "train"):
                                     raw_size=cfg.data.raw_size, kind=kind,
                                     vocab=vocab)
         valid = {}
+        # seeds keyed off the split so val and test sets are disjoint
+        seed0 = 1 if eval_split == "val" else 3
         if kind in ("all", "lrw"):
             valid["lrw"] = SyntheticLipDataset(
                 size=max(args.synthetic_size // 4, 4),
                 frames=cfg.data.frames, raw_size=cfg.data.raw_size,
-                kind="lrw", vocab=vocab, seed=1)
+                kind="lrw", vocab=vocab, seed=seed0)
         if kind in ("all", "lrw1000"):
             valid["lrw1000"] = SyntheticLipDataset(
                 size=max(args.synthetic_size // 4, 4),
                 frames=cfg.data.frames, raw_size=cfg.data.raw_size,
-                kind="lrw1000", vocab=vocab, seed=2)
+                kind="lrw1000", vocab=vocab, seed=seed0 + 1)
         return train, valid
     from .data import LrwDataset, Lrw1000Dataset, MixedBilingualDataset
     parts = []
     valid = {}
     if args.lrw_path:
-        parts.append(LrwDataset(args.lrw_path, split,
+        parts.append(LrwDataset(args.lrw_path, "train",
                                 frames=cfg.data.frames,
-                                data_fraction=cfg.data.data_fraction))
-        valid["lrw"] = LrwDataset(args.lrw_path, "val",
-                                  frames=cfg.data.frames)
+                                data_fraction=cfg.data.data_fraction,
+                                vocab=vocab))
+        valid["lrw"] = LrwDataset(args.lrw_path, eval_split,
+                                  frames=cfg.data.frames, vocab=vocab)
     if args.lrw1000_manifest:
         parts.append(Lrw1000Dataset(args.lrw1000_images,
                                     args.lrw1000_manifest,
                                     frames=cfg.data.frames,
-                                    raw_size=cfg.data.raw_size))
+                                    raw_size=cfg.data.raw_size, vocab=vocab))
+    if args.lrw1000_eval_manifest:
+        valid["lrw1000"] = Lrw1000Dataset(args.lrw1000_images,
+                                          args.lrw1000_eval_manifest,
+                                          frames=cfg.data.frames,
+                                          raw_size=cfg.data.raw_size,
+                                          vocab=vocab)
     train = parts[0] if len(parts) == 1 else MixedBilingualDataset(*parts)
     return train, valid
 
@@ -168,7 +200,8 @@ def run_train(argv=None) -> None:
     cfg = config_from_args(args)
     from .training import Trainer, checkpoint as ckpt
     train_ds, valid_ds = make_datasets(cfg, args)
-    tr = Trainer(cfg, train_ds, valid_ds, checkpoint_dir=args.save_dir)
+    tr = Trainer(cfg, train_ds, valid_ds, checkpoint_dir=args.save_dir,
+                 profile_dir=args.profile_dir)
     if args.transfer_from:
         tr.state, _ = ckpt.restore_for_transfer(args.transfer_from, tr.state)
     elif args.checkpoint and os.path.isdir(args.checkpoint):
@@ -180,12 +213,13 @@ def run_train(argv=None) -> None:
 
 
 def run_test(argv=None) -> None:
-    """Evaluation driver (reference test.py): load checkpoint, run
-    valid_lrw / valid_lrw1000, print per-direction WER/PER."""
+    """Evaluation driver (reference test.py): load checkpoint, evaluate the
+    LRW *test* split and the LRW-1000 eval manifest (tst1.txt), print
+    per-direction WER/PER (test.py:51-311)."""
     args = build_argparser().parse_args(argv)
     cfg = config_from_args(args)
     from .training import Trainer, checkpoint as ckpt
-    train_ds, valid_ds = make_datasets(cfg, args, split="test")
+    train_ds, valid_ds = make_datasets(cfg, args, eval_split="test")
     tr = Trainer(cfg, SyntheticPlaceholder(), valid_ds)
     if args.checkpoint:
         tr.state, _, _ = ckpt.restore_checkpoint(args.checkpoint, tr.state)
@@ -193,6 +227,9 @@ def run_test(argv=None) -> None:
     if args.bigram_lm and cfg.decoder and not cfg.decoder.bidirectional:
         import jax.numpy as jnp
         from .decode import bigram_from_dataset
+        # the reference's bigram_freq.pkl is a TRAIN-corpus table (LRW1000
+        # decoder.py:12-15); make_datasets always builds train_ds from the
+        # train split/manifest, so no test-label leakage into the eval LM
         big = bigram_from_dataset(train_ds, cfg.decoder.vocab_size)
         bigram_logp = jnp.log(jnp.asarray(big) + 1e-10)
     for name, ds in valid_ds.items():

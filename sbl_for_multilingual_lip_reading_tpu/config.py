@@ -95,8 +95,10 @@ class OptimConfig:
 class MeshConfig:
     data: int = 1      # data-parallel axis size
     model: int = 1     # tensor-parallel axis size
-    sync_batchnorm: bool = True  # GSPMD default; False documents DataParallel's
-                                 # per-replica BN stats semantics
+    sync_batchnorm: bool = True  # GSPMD default (global-batch BN stats);
+                                 # False reproduces DataParallel's per-replica
+                                 # stats via GroupedBatchNorm (one group per
+                                 # dp shard)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -116,6 +118,9 @@ class WorkloadConfig:
     num_word_classes: int = 1500
     num_languages: int = 2
     language_loss_weight: float = 0.1
+    # fixed LRW-1000 samples per batch via TwoStreamBatchSampler
+    # (reference classify data_gen.py:340-367); 0 = plain shuffling
+    secondary_batch_size: int = 0
     # fused small-T Pallas attention (ops/attention.py::fused_small_mha):
     # ~1.5x end-to-end inference; auto-disabled off-TPU and in
     # dropout-active training

@@ -22,14 +22,50 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from ..vocab import IGNORE_ID, encode_english_word
+from ..vocab import (IGNORE_ID, LRW_PHONEMES, LRW1000_PHONEMES,
+                     encode_english_word, encode_pinyin_seq,
+                     pinyin_to_phonemes, word_to_phonemes, words_1500)
 from .manifest import Lrw1000Entry, read_manifest
-from .synthetic import _pad_labels
+from .synthetic import _LRW_RESPELL, _pad_labels
+
+
+def encode_word_ids(word: str, vocab: str = "sbl"):
+    """English word -> phoneme ids in the requested token table: 'sbl' =
+    unified 58-token vocab (SBL project), 'lrw' = the LRW project's own
+    42-token table, which spells two phonemes differently
+    (VSR_seq2seq_Transformer_with_phonemes_LRW/English_phonemes_total.py)."""
+    if vocab == "lrw":
+        phs = [_LRW_RESPELL.get(p, p) for p in word_to_phonemes(word)]
+        return [LRW_PHONEMES.index(p) for p in phs]
+    return encode_english_word(word)
+
+
+def encode_pinyin_ids(pinyins, vocab: str = "sbl"):
+    """Pinyin sequence -> phoneme ids: 'sbl' = unified 58-token vocab,
+    'lrw1000' = the Mandarin project's 48-token table
+    (VSR_seq2seq_Transformer_with_phonemes_LRW1000/pinyin2phoneme)."""
+    if vocab == "lrw1000":
+        return [LRW1000_PHONEMES.index(p) for p in pinyin_to_phonemes(pinyins)]
+    return encode_pinyin_seq(pinyins)
 
 try:
     import cv2
 except Exception:  # pragma: no cover - cv2 present in this image
     cv2 = None
+
+_WORD_INDEX: Optional[Dict[str, int]] = None
+
+
+def word_class_id(word: str) -> int:
+    """1500-way classify label: index into words_1500.txt (LRW words occupy
+    [0, 500), LRW-1000 pinyin strings [500, 1500)) -- the reference's
+    ``label = words.index(item)`` (classify data_gen.py:161,174).  Unknown
+    words map to -1 (never matches an argmax) rather than the reference's
+    ValueError crash."""
+    global _WORD_INDEX
+    if _WORD_INDEX is None:
+        _WORD_INDEX = {w: i for i, w in enumerate(words_1500())}
+    return _WORD_INDEX.get(word, -1)
 
 
 class LrwDataset:
@@ -38,7 +74,8 @@ class LrwDataset:
     (reference data_gen.py:137-151: ``<root>/<WORD>/<split>/<WORD>_*.npy``)."""
 
     def __init__(self, root: str, split: str = "train", frames: int = 30,
-                 pad_len: int = 14, data_fraction: float = 1.0):
+                 pad_len: int = 14, data_fraction: float = 1.0,
+                 vocab: str = "sbl"):
         self.frames = frames
         self.pad_len = pad_len
         self.samples: List[tuple] = []
@@ -49,11 +86,11 @@ class LrwDataset:
             for f in files:
                 word = os.path.basename(f).split("_")[0]
                 if word not in label_cache:
-                    ids = encode_english_word(word)
+                    ids = encode_word_ids(word, vocab)
                     label_cache[word] = (
                         _pad_labels(ids, pad_len),
                         _pad_labels(ids[::-1], pad_len),
-                        np.int32(0))
+                        np.int32(word_class_id(word)))
                 self.samples.append((f, word))
         self._labels = label_cache
 
@@ -68,11 +105,12 @@ class LrwDataset:
             arr = (arr * 255.0).astype(np.uint8) if arr.max() <= 1.0 \
                 else arr.astype(np.uint8)
         clip = np.zeros((self.frames,) + arr.shape[1:], dtype=np.uint8)
-        clip[:min(len(arr), self.frames)] = arr[:self.frames]
-        labels, labels_rev, lang = self._labels[word]
+        n = min(len(arr), self.frames)
+        clip[:n] = arr[:self.frames]
+        labels, labels_rev, word_id = self._labels[word]
         return {"clip_u8": clip, "labels": labels,
-                "labels_reverse": labels_rev, "lang_id": lang,
-                "word_id": np.int32(0)}
+                "labels_reverse": labels_rev, "lang_id": np.int32(0),
+                "word_id": word_id, "n_frames": np.int32(n)}
 
 
 class Lrw1000Dataset:
@@ -84,7 +122,7 @@ class Lrw1000Dataset:
                  frames: int = 30, raw_size: int = 96, pad_len: int = 14,
                  limit: Optional[int] = None, wav_root: Optional[str] = None,
                  audio_dim: int = 80, lfr_m: int = 4, lfr_n: int = 3,
-                 audio_pad_frames: int = 88):
+                 audio_pad_frames: int = 88, vocab: str = "sbl"):
         """wav_root: when given, samples also carry 80-dim log-mel fbank
         features with LFR stacking (the audio stream of the reference's
         audio-visual variants, data_gen_LRW1000.py + utils.py:199-233),
@@ -99,6 +137,7 @@ class Lrw1000Dataset:
         self.audio_dim = audio_dim
         self.lfr_m, self.lfr_n = lfr_m, lfr_n
         self.audio_pad_frames = audio_pad_frames
+        self.vocab = vocab
         self.entries: List[Lrw1000Entry] = read_manifest(manifest_path,
                                                          limit=limit)
 
@@ -125,10 +164,12 @@ class Lrw1000Dataset:
             img = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
             clip[t] = img
             t += 1
-        ids = e.label_ids
+        ids = encode_pinyin_ids(e.pinyins, self.vocab)
         out = {"clip_u8": clip, "labels": _pad_labels(ids, self.pad_len),
                "labels_reverse": _pad_labels(ids[::-1], self.pad_len),
-               "lang_id": np.int32(1), "word_id": np.int32(0)}
+               "lang_id": np.int32(1),
+               "word_id": np.int32(word_class_id(" ".join(e.pinyins))),
+               "n_frames": np.int32(t)}
         if self.wav_root is not None:
             out["audio"] = self._load_audio(e)
         return out
@@ -170,3 +211,10 @@ class MixedBilingualDataset:
         if i < len(self.lrw):
             return self.lrw[i]
         return self.lrw1000[i - len(self.lrw)]
+
+    def stream_indices(self):
+        """(primary LRW indices, secondary LRW-1000 indices) for the
+        fixed-ratio TwoStreamBatchSampler (reference train.py:83-90 builds
+        the streams with get_lrw_labeled_and_lrw1000_labeled_idxs)."""
+        n = len(self.lrw)
+        return list(range(n)), list(range(n, n + len(self.lrw1000)))

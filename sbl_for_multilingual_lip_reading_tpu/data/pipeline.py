@@ -23,13 +23,19 @@ from .transforms import MEAN, STD
 
 def device_ingest(clips_u8: jnp.ndarray, offsets: jnp.ndarray,
                   flip: jnp.ndarray, frame_map: jnp.ndarray,
-                  crop: int, dtype=jnp.float32) -> jnp.ndarray:
+                  crop: int, dtype=jnp.float32,
+                  n_frames: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Fused on-device preprocessing.
 
     clips_u8:  (B, T, H, W) uint8 raw frames
     offsets:   (B, T, 2) int32 per-frame (y, x) crop offsets
     flip:      (B,) bool whole-clip horizontal flip
     frame_map: (B, T) int32 source-frame gather map (FrameRemoval)
+    n_frames:  optional (B,) int32 valid-frame counts: time-pad slots are
+               zeroed AFTER normalization, matching the reference's
+               pad-after-ColorNormalize order (data_gen.py:293-295 pads the
+               normalized clip with 0.0; normalizing a zero uint8 pixel
+               would give (0-mean)/std = -2.43 instead)
     Returns (B, T, crop, crop) normalized ``dtype`` frames.
     """
     B, T, H, W = clips_u8.shape
@@ -44,6 +50,9 @@ def device_ingest(clips_u8: jnp.ndarray, offsets: jnp.ndarray,
     x = cropped.astype(jnp.float32) * (1.0 / 255.0)
     x = (x - MEAN) / STD
     x = jnp.where(flip[:, None, None, None], x[:, :, :, ::-1], x)
+    if n_frames is not None:
+        valid = jnp.arange(T, dtype=jnp.int32)[None, :] < n_frames[:, None]
+        x = jnp.where(valid[:, :, None, None], x, 0.0)
     return x.astype(dtype)
 
 
@@ -109,12 +118,18 @@ class Batcher:
             yield self._collate([self.dataset[i] for i in idx])
 
     def _local(self, global_idx):
-        """This host's stripe of a global index batch."""
+        """This host's stripe of a global index batch.
+
+        Strided (idx[p::P]) rather than contiguous so a ragged tail batch
+        (drop_last=False) is spread across hosts without dropping samples:
+        every global index lands on exactly one host.  NB: on a ragged tail
+        host stripes can differ in size by 1 -- fine for host-side eval
+        loops, but a multi-host SPMD step needs equal per-host shapes, so
+        keep drop_last=True (or batch_size % process_count == 0 tails) when
+        feeding a jitted step across processes."""
         if self.process_count == 1:
             return list(global_idx)
-        per = len(global_idx) // self.process_count
-        lo = self.process_index * per
-        return list(global_idx[lo:lo + per])
+        return list(global_idx[self.process_index::self.process_count])
 
     @staticmethod
     def _collate(samples) -> dict:

@@ -21,7 +21,9 @@ class TwoStreamBatchSampler:
         self.secondary = np.asarray(secondary_indices)
         self.secondary_bs = secondary_batch_size
         self.primary_bs = batch_size - secondary_batch_size
-        assert self.primary_bs > 0 and self.secondary_bs >= 0
+        assert self.primary_bs > 0 and self.secondary_bs >= 0, (
+            f"secondary_batch_size ({secondary_batch_size}) must be "
+            f"non-negative and strictly less than batch_size ({batch_size})")
         self.rng = np.random.default_rng(seed)
 
     def _eternal_secondary(self) -> Iterator[int]:

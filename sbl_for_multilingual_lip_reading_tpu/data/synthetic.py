@@ -78,6 +78,13 @@ class SyntheticLipDataset:
             return False
         return i % 2 == 0
 
+    def stream_indices(self):
+        """(LRW indices, LRW-1000 indices) for TwoStreamBatchSampler tests
+        (only meaningful for kind='all', where even=LRW / odd=LRW-1000)."""
+        idx = list(range(self.size))
+        return ([i for i in idx if self._is_lrw(i)],
+                [i for i in idx if not self._is_lrw(i)])
+
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
         rng = np.random.default_rng(self.seed * 1000003 + i)
         clip = rng.integers(0, 256, size=(self.frames, self.raw, self.raw),
@@ -109,4 +116,87 @@ class SyntheticLipDataset:
             "labels_reverse": _pad_labels(ids[::-1], self.pad_len),
             "lang_id": np.int32(lang),
             "word_id": np.int32(word_id),
+            "n_frames": np.int32(self.frames),
+        }
+
+
+class SyntheticPatternDataset:
+    """LEARNABLE synthetic set: pixels deterministically encode the word.
+
+    ``SyntheticLipDataset`` clips are pure per-index noise -- a model can
+    only memorize them.  Here every word gets a low-frequency spatiotemporal
+    base pattern (seeded by the word), and each sample is that pattern plus
+    per-sample noise, so a trained model generalizes to HELD-OUT clips of
+    the same words.  Used by ``tools/convergence_check.py --full-dims`` to
+    demonstrate full-dims convergence on a non-degenerate task without the
+    licensed datasets (the reference's 3-stage recipe, README.md:46-68,
+    assumes LRW/LRW-1000).
+
+    split: 'train' and 'heldout' draw disjoint per-sample noise seeds.
+    """
+
+    def __init__(self, n_words: int = 200, samples_per_word: int = 25,
+                 frames: int = 30, raw_size: int = 96, pad_len: int = 14,
+                 seed: int = 0, noise: float = 0.25, split: str = "train"):
+        assert split in ("train", "heldout")
+        self.n_words = n_words
+        self.spw = samples_per_word
+        self.frames = frames
+        self.raw = raw_size
+        self.pad_len = pad_len
+        self.seed = seed
+        self.noise = noise
+        self.split = split
+        lrw = lrw_words()
+        l1000 = [w for w in lrw1000_words()
+                 if all(s in chinese_phoneme_map() for s in w.split(" "))]
+        # alternate languages, mirroring the mixed bilingual corpus
+        self.words = []
+        for i in range(n_words):
+            if i % 2 == 0:
+                self.words.append(("en", lrw[(i // 2) % len(lrw)]))
+            else:
+                self.words.append(("zh", l1000[(i // 2) % len(l1000)]))
+        self._patterns: Dict[int, np.ndarray] = {}
+
+    def __len__(self):
+        return self.n_words * self.spw
+
+    def _pattern(self, w: int) -> np.ndarray:
+        """(frames, raw, raw) float32 in [0,1]: blocky low-freq video unique
+        to word w (8x8 spatial blocks, smooth in time)."""
+        if w not in self._patterns:
+            rng = np.random.default_rng(77777 + self.seed * 131 + w)
+            small = rng.random((self.frames, self.raw // 8, self.raw // 8))
+            base = np.kron(small, np.ones((1, 8, 8))).astype(np.float32)
+            self._patterns[w] = base
+        return self._patterns[w]
+
+    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        w = i % self.n_words
+        offset = 10 ** 7 if self.split == "heldout" else 0
+        rng = np.random.default_rng(self.seed * 1000003 + offset + i)
+        base = self._pattern(w)
+        clip = base + self.noise * rng.standard_normal(base.shape)
+        clip = np.clip(clip * 255.0, 0, 255).astype(np.uint8)
+        lang, word = self.words[w]
+        if lang == "en":
+            ids = encode_english_word(word)
+            lang_id = 0
+            words = lrw_words()
+            word_id = words.index(word) if word in words else -1
+        else:
+            ids = encode_pinyin_seq(word.split(" "))
+            lang_id = 1
+            try:
+                word_id = 500 + words_1500()[500:].index(word)
+            except ValueError:
+                word_id = -1
+        return {
+            "clip_u8": clip,
+            "labels": _pad_labels(ids, self.pad_len),
+            "labels_reverse": _pad_labels(ids[::-1], self.pad_len),
+            "lang_id": np.int32(lang_id),
+            "word_id": np.int32(word_id),
+            "n_frames": np.int32(self.frames),
         }

@@ -13,8 +13,13 @@ from .classify import ClassifyTransformer
 def build_model(cfg):
     """Construct the model for a WorkloadConfig."""
     dtype = jnp.dtype(cfg.compute_dtype)
+    # sync_batchnorm=False: per-replica (DataParallel-parity) BN statistics,
+    # one group per dp shard (parallel/mesh.py BatchNorm note)
+    bn_groups = (cfg.mesh.data
+                 if cfg.mesh.data > 1 and not cfg.mesh.sync_batchnorm else 1)
     frontend = frontend_from_config(cfg.frontend, dtype=dtype,
-                                    remat=cfg.remat_frontend)
+                                    remat=cfg.remat_frontend,
+                                    bn_groups=bn_groups)
     encoder = encoder_from_config(cfg.dims, d_input=cfg.frontend.feature_dim,
                                   dtype=dtype,
                                   use_pallas=cfg.use_pallas_attention)

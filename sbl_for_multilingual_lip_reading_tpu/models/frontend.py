@@ -36,6 +36,59 @@ Array = jnp.ndarray
 _conv_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
+class GroupedBatchNorm(nn.Module):
+    """BatchNorm with per-replica (DataParallel) statistics semantics.
+
+    The reference's only parallelism is ``nn.DataParallel`` (SBL
+    train.py:115), whose BatchNorm computes statistics per GPU replica over
+    its local batch slice, and only the source replica's running-stat buffer
+    updates survive the scatter/gather.  Under jit/GSPMD a plain
+    ``nn.BatchNorm`` reduces over the *global* batch (synced BN).  This
+    module reproduces the DataParallel semantics TPU-natively: the leading
+    (batch) dim splits into ``groups`` contiguous slices, each normalized by
+    its own statistics -- with the batch dp-sharded along dim 0, each
+    group's stats reduce entirely on-device (no collectives, no shard_map)
+    -- and running stats update from group 0 only (the torch source
+    replica).  Variable layout matches ``nn.BatchNorm`` (params scale/bias,
+    batch_stats mean/var) so checkpoints interchange with the synced path.
+    """
+    groups: int = 1
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: Array, use_running_average: bool = True) -> Array:
+        features = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (features,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (features,),
+                          jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean", nn.initializers.zeros,
+                                None, (features,), jnp.float32)
+        ra_var = self.variable("batch_stats", "var", nn.initializers.ones,
+                               None, (features,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+            inv = jax.lax.rsqrt(var + self.epsilon) * scale
+            return xf * inv + (bias - mean * inv)
+        g = self.groups
+        N = x.shape[0]
+        assert N % g == 0, f"batch {N} not divisible by {g} BN groups"
+        xg = xf.reshape((g, N // g) + x.shape[1:])
+        axes = tuple(range(1, xg.ndim - 1))
+        mean = jnp.mean(xg, axes)                       # (g, C)
+        var = jnp.mean(jnp.square(xg), axes) - jnp.square(mean)
+        if not self.is_initializing():
+            m = self.momentum
+            ra_mean.value = m * ra_mean.value + (1 - m) * mean[0]
+            ra_var.value = m * ra_var.value + (1 - m) * var[0]
+        shape = (g,) + (1,) * len(axes) + (features,)
+        inv = jax.lax.rsqrt(var + self.epsilon).reshape(shape)
+        y = (xg - mean.reshape(shape)) * inv * scale + bias
+        return y.reshape(x.shape)
+
+
 class BasicBlock(nn.Module):
     """ResNet BasicBlock (reference video_frontend.py:15-41)."""
     filters: int
@@ -43,12 +96,18 @@ class BasicBlock(nn.Module):
     bn_momentum: float = 0.9
     bn_epsilon: float = 1e-5
     dtype: jnp.dtype = jnp.float32
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         def bn(name, h):
             # fp32 statistics, activations kept in compute dtype (the f32
             # BN outputs would otherwise double backward-pass HBM)
+            if self.bn_groups > 1:
+                return GroupedBatchNorm(
+                    self.bn_groups, self.bn_momentum, self.bn_epsilon,
+                    name=name)(h, use_running_average=not train).astype(
+                        self.dtype)
             return nn.BatchNorm(use_running_average=not train,
                                 momentum=self.bn_momentum,
                                 epsilon=self.bn_epsilon,
@@ -87,6 +146,7 @@ class ResNetTrunk(nn.Module):
     bn_epsilon: float = 1e-5
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -96,7 +156,8 @@ class ResNetTrunk(nn.Module):
             for b in range(nblocks):
                 stride = 2 if (stage > 0 and b == 0) else 1
                 x = block_cls(ch, stride, self.bn_momentum, self.bn_epsilon,
-                              self.dtype, name=f"layer{stage + 1}_block{b}")(
+                              self.dtype, self.bn_groups,
+                              name=f"layer{stage + 1}_block{b}")(
                     x, train)
         return jnp.mean(x, axis=(1, 2))  # AdaptiveAvgPool2d(1)
 
@@ -112,6 +173,10 @@ class VisualFrontend(nn.Module):
     bn_epsilon: float = 1e-5
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    # >1: per-replica (DataParallel-parity) BN statistics over this many
+    # contiguous batch groups; set to the dp mesh size so each group's
+    # stats reduce on one device (MeshConfig.sync_batchnorm=False)
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False,
@@ -141,9 +206,15 @@ class VisualFrontend(nn.Module):
             xs, k2d, window_strides=(2, 2), padding=((3, 3), (3, 3)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=self.dtype)
-        x = nn.BatchNorm(use_running_average=not train,
-                         momentum=self.bn_momentum, epsilon=self.bn_epsilon,
-                         dtype=jnp.float32, name="bn3d")(x)
+        if self.bn_groups > 1:
+            x = GroupedBatchNorm(self.bn_groups, self.bn_momentum,
+                                 self.bn_epsilon, name="bn3d")(
+                x, use_running_average=not train)
+        else:
+            x = nn.BatchNorm(use_running_average=not train,
+                             momentum=self.bn_momentum,
+                             epsilon=self.bn_epsilon,
+                             dtype=jnp.float32, name="bn3d")(x)
         x = nn.relu(x).astype(self.dtype)
         # The reference pools with MaxPool3d(k=(1,3,3)) -- temporal window 1,
         # so with time already folded into batch, pool in 2-D: identical
@@ -153,14 +224,15 @@ class VisualFrontend(nn.Module):
                         padding=((1, 1), (1, 1)))
         x = ResNetTrunk(self.resnet_channels, self.resnet_blocks,
                         self.bn_momentum, self.bn_epsilon, self.dtype,
-                        self.remat, name="resnet")(x, train=train)
+                        self.remat, self.bn_groups, name="resnet")(
+            x, train=train)
         x = nn.Dropout(self.dropout, name="feat_drop")(
             x, deterministic=deterministic)
         return x.reshape(B, T, self.feature_dim)
 
 
-def frontend_from_config(cfg, dtype=jnp.float32,
-                         remat: bool = False) -> VisualFrontend:
+def frontend_from_config(cfg, dtype=jnp.float32, remat: bool = False,
+                         bn_groups: int = 1) -> VisualFrontend:
     return VisualFrontend(
         conv3d_channels=cfg.conv3d_channels,
         resnet_channels=tuple(cfg.resnet_channels),
@@ -171,4 +243,5 @@ def frontend_from_config(cfg, dtype=jnp.float32,
         bn_epsilon=cfg.bn_epsilon,
         dtype=dtype,
         remat=remat,
+        bn_groups=bn_groups,
     )

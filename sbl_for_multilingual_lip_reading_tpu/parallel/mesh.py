@@ -14,9 +14,10 @@ equivalent is a ('data', 'model') mesh:
 
 BatchNorm note: under jit/GSPMD the frontend's BN reduces over the *global*
 batch (= synced BN).  The reference's DataParallel computes per-replica
-statistics; MeshConfig.sync_batchnorm=False documents that divergence --
-per-replica stats would require a shard_map subgraph and changes parity only
-through noisier statistics.
+statistics; ``MeshConfig.sync_batchnorm=False`` reproduces those semantics
+via ``models.frontend.GroupedBatchNorm`` (one stats group per dp shard,
+computed inside the jitted graph with no collectives; running stats follow
+torch's source replica).
 """
 from __future__ import annotations
 

@@ -39,7 +39,8 @@ def _freeze_grads(grads, freeze_prefixes):
 
 def _ingest_train(batch, crop: int, dtype):
     return device_ingest(batch["clip_u8"], batch["offsets"], batch["flip"],
-                         batch["frame_map"], crop, dtype)
+                         batch["frame_map"], crop, dtype,
+                         n_frames=batch.get("n_frames"))
 
 
 def _ingest_eval(batch, crop: int, dtype):
@@ -48,7 +49,8 @@ def _ingest_eval(batch, crop: int, dtype):
     offsets = jnp.full((B, T, 2), c, jnp.int32)
     flip = jnp.zeros((B,), bool)
     fmap = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
-    return device_ingest(batch["clip_u8"], offsets, flip, fmap, crop, dtype)
+    return device_ingest(batch["clip_u8"], offsets, flip, fmap, crop, dtype,
+                         n_frames=batch.get("n_frames"))
 
 
 def make_sbl_train_step(model, tx, cfg) -> Callable:

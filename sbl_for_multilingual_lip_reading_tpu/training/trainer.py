@@ -38,12 +38,26 @@ from .steps import (make_classify_eval_step, make_classify_train_step,
 
 def attach_plans(batch: Dict, rng: np.random.Generator, cfg,
                  train: bool) -> Dict:
-    """Add integer augmentation plans to a raw uint8 batch."""
+    """Add integer augmentation plans to a raw uint8 batch.
+
+    Crop-plan parity is per-dataset (selected by each sample's lang_id):
+    LRW npy clips get *per-frame* offsets in [0, raw-crop] (the reference's
+    RandomCrop draws inside the frame loop, cvtransforms.py:28-29) while
+    LRW-1000 jpg clips get one *per-clip* offset in [0, (raw-crop)//2]
+    (load_images draws x1/y1 once per clip with border = (96-88)//2 = 4,
+    SBL data_gen.py:63-66).  Flip + FrameRemoval apply to both
+    (data_gen.py:288-291)."""
     B, T = batch["clip_u8"].shape[:2]
     raw, crop = batch["clip_u8"].shape[2], cfg.data.crop_size
     if train:
-        plans = [make_train_plan(rng, T, raw, crop,
-                                 cfg.data.frame_removal_p) for _ in range(B)]
+        lang = np.asarray(batch.get("lang_id", np.zeros(B, np.int32)))
+        plans = [
+            make_train_plan(rng, T, raw, crop, cfg.data.frame_removal_p,
+                            per_frame_offsets=(lang[i] == 0),
+                            max_offset=(None if lang[i] == 0
+                                        else (raw - crop) // 2))
+            for i in range(B)
+        ]
         batch = dict(batch)
         batch["offsets"] = np.stack([p.offsets for p in plans])
         batch["flip"] = np.array([p.flip for p in plans])
@@ -119,10 +133,15 @@ class Trainer:
     def __init__(self, cfg, train_dataset, valid_datasets: Optional[Dict] = None,
                  checkpoint_dir: Optional[str] = None, mesh=None,
                  tensorboard_dir: Optional[str] = None,
-                 halt_on_nan: bool = True):
+                 halt_on_nan: bool = True, profile_dir: Optional[str] = None):
         self.cfg = cfg
         self.logger = get_logger()
         self.writer = None
+        # --profile-dir: capture a jax.profiler device trace over a few
+        # steady-state steps of the first epoch (SURVEY.md §5 tracing)
+        self.profile_dir = profile_dir
+        from ..utils.profiler import StepTimer
+        self.timer = StepTimer(batch_size=cfg.batch_size)
         if tensorboard_dir:
             from ..utils.tensorboard import SummaryWriter
             self.writer = SummaryWriter(tensorboard_dir)
@@ -159,35 +178,73 @@ class Trainer:
         self.epochs_since_improvement = 0
 
     # ------------------------------------------------------------------ train
+    def _make_sampler(self, epoch: int):
+        """Fixed-ratio two-stream batches (reference TwoStreamBatchSampler,
+        classify data_gen.py:340-367): ``cfg.secondary_batch_size`` samples
+        per batch come from the secondary (LRW-1000) stream, the rest from
+        the primary (LRW) stream.  Requires a dataset exposing
+        ``stream_indices()``."""
+        sec = getattr(self.cfg, "secondary_batch_size", 0)
+        if not sec:
+            return None
+        streams = getattr(self.train_dataset, "stream_indices", None)
+        if streams is None:
+            raise ValueError(
+                "secondary_batch_size set but the train dataset has no "
+                "stream_indices() (use MixedBilingualDataset or a synthetic "
+                "'all' dataset)")
+        from ..data.sampler import TwoStreamBatchSampler
+        primary, secondary = streams()
+        return TwoStreamBatchSampler(primary, secondary, self.cfg.batch_size,
+                                     sec, seed=self.cfg.seed + epoch)
+
     def train_epoch(self, epoch: int = 0, max_steps: Optional[int] = None
                     ) -> float:
         losses = AverageMeter()
         batcher = Batcher(self.train_dataset, self.cfg.batch_size,
-                          shuffle=True, seed=self.cfg.seed + epoch)
+                          shuffle=True, seed=self.cfg.seed + epoch,
+                          sampler=self._make_sampler(epoch))
         it = (attach_plans(b, self.np_rng, self.cfg, train=True)
               for b in batcher)
         sharding = None
         if self.mesh is not None:
             from ..parallel import batch_sharding
             sharding = batch_sharding(self.mesh)
-        for i, batch in enumerate(prefetch_to_device(it, sharding=sharding)):
-            if max_steps is not None and i >= max_steps:
-                break
-            self.state, metrics = self.train_step(self.state, batch, self.rng)
-            loss = float(metrics["loss"])
-            if self.halt_on_nan and not np.isfinite(loss):
-                raise FloatingPointError(
-                    f"non-finite loss {loss} at step {int(self.state.step)} "
-                    f"(epoch {epoch}, batch {i}); metrics="
-                    f"{ {k: float(v) for k, v in metrics.items()} }")
-            losses.update(loss)
-            if self.writer is not None:
-                self.writer.add_scalar("train/loss", loss,
-                                       int(self.state.step))
-            if i % 50 == 0:
-                self.logger.info(
-                    f"Epoch: [{epoch}][{i}/{len(batcher)}]\t"
-                    f"Loss {losses.val:.5f} ({losses.avg:.5f})")
+        tracing = False
+        try:
+            for i, batch in enumerate(prefetch_to_device(it, sharding=sharding)):
+                if max_steps is not None and i >= max_steps:
+                    break
+                if self.profile_dir is not None and epoch == 0 and i == 1:
+                    # skip step 0 (compile); trace a few steady-state steps
+                    jax.profiler.start_trace(self.profile_dir)
+                    tracing = True
+                with self.timer.step():
+                    self.state, metrics = self.train_step(self.state, batch,
+                                                          self.rng)
+                    loss = float(metrics["loss"])  # blocks: real step time
+                if tracing and i >= 3:
+                    jax.profiler.stop_trace()
+                    tracing = False
+                    self.logger.info(f"profiler trace written to "
+                                     f"{self.profile_dir}")
+                if self.halt_on_nan and not np.isfinite(loss):
+                    raise FloatingPointError(
+                        f"non-finite loss {loss} at step {int(self.state.step)} "
+                        f"(epoch {epoch}, batch {i}); metrics="
+                        f"{ {k: float(v) for k, v in metrics.items()} }")
+                losses.update(loss)
+                if self.writer is not None:
+                    self.writer.add_scalar("train/loss", loss,
+                                           int(self.state.step))
+                if i % 50 == 0:
+                    self.logger.info(
+                        f"Epoch: [{epoch}][{i}/{len(batcher)}]\t"
+                        f"Loss {losses.val:.5f} ({losses.avg:.5f})\t"
+                        f"{self.timer.clips_per_sec:.1f} clips/s")
+        finally:
+            if tracing:
+                jax.profiler.stop_trace()
         return losses.avg
 
     # ------------------------------------------------------------------- eval

@@ -174,3 +174,138 @@ def test_lrw1000_audio_stream(tmp_path):
     s = ds[0]
     assert s["audio"].shape == (88, 320)   # LFR m=4 stacking of 80-dim fbank
     assert np.abs(s["audio"]).sum() > 0
+
+
+def test_lrw_dataset_word_ids_and_n_frames(tmp_path):
+    """Classify labels: LRW word -> index into words_1500.txt[:500]
+    (reference classify data_gen.py:161), plus valid-frame count."""
+    from sbl_for_multilingual_lip_reading_tpu.vocab import words_1500
+    root = tmp_path / "lrw"
+    for word in ["ABOUT", "WORLD"]:
+        d = root / word / "train"
+        d.mkdir(parents=True)
+        clip = np.random.randint(0, 255, size=(29, 96, 96)).astype(np.uint8)
+        np.save(d / f"{word}_00001.npy", clip)
+    ds = LrwDataset(str(root), "train", frames=30, pad_len=14)
+    words = words_1500()
+    got = {words[int(ds[i]["word_id"])] for i in range(2)}
+    assert got == {"ABOUT", "WORLD"}
+    assert all(int(ds[i]["word_id"]) < 500 for i in range(2))
+    assert int(ds[0]["n_frames"]) == 29
+
+
+def test_lrw1000_dataset_word_ids(tmp_path):
+    """LRW-1000 pinyin entry -> 500+offset index (classify data_gen.py:174)."""
+    from sbl_for_multilingual_lip_reading_tpu.data.datasets import (
+        Lrw1000Dataset, word_class_id)
+    from sbl_for_multilingual_lip_reading_tpu.vocab import words_1500
+    man = tmp_path / "m.txt"
+    man.write_text("dir1,w1,x,zhong guo,0.0,0.4\n")
+    imroot = tmp_path / "images"
+    (imroot / "dir1").mkdir(parents=True)
+    ds = Lrw1000Dataset(str(imroot), str(man), frames=4, raw_size=16)
+    s = ds[0]
+    wid = int(s["word_id"])
+    assert wid >= 500 and words_1500()[wid] == "zhong guo"
+    assert int(s["n_frames"]) == 0  # no jpgs on disk
+    assert word_class_id("not a real word") == -1
+
+
+def test_device_ingest_zeroes_time_padding():
+    """Pad slots must be 0.0 post-normalization (reference pads AFTER
+    ColorNormalize, data_gen.py:293-295)."""
+    rng = np.random.default_rng(0)
+    B, Tn, raw, crop = 2, 6, 32, 24
+    clips = rng.integers(0, 256, size=(B, Tn, raw, raw), dtype=np.uint8)
+    clips[0, 4:] = 0  # simulate dataset zero-padding
+    from sbl_for_multilingual_lip_reading_tpu.data.pipeline import (
+        device_ingest)
+    plans = [T.make_eval_plan(Tn, raw, crop) for _ in range(B)]
+    out = device_ingest(
+        jnp.asarray(clips),
+        jnp.asarray(np.stack([p.offsets for p in plans])),
+        jnp.asarray(np.array([p.flip for p in plans])),
+        jnp.asarray(np.stack([p.frame_map for p in plans])),
+        crop, n_frames=jnp.asarray(np.array([4, Tn], np.int32)))
+    out = np.asarray(out)
+    np.testing.assert_array_equal(out[0, 4:], 0.0)      # pad slots zeroed
+    assert np.abs(out[0, :4]).sum() > 0                 # valid frames kept
+    assert np.abs(out[1]).sum() > 0                     # full clip untouched
+    # without n_frames, a zero uint8 frame normalizes to (0 - mean)/std
+    out2 = np.asarray(device_ingest(
+        jnp.asarray(clips),
+        jnp.asarray(np.stack([p.offsets for p in plans])),
+        jnp.asarray(np.array([p.flip for p in plans])),
+        jnp.asarray(np.stack([p.frame_map for p in plans])), crop))
+    np.testing.assert_allclose(out2[0, 5], (0.0 - T.MEAN) / T.STD, atol=1e-6)
+
+
+def test_batcher_strided_multihost_ragged_tail():
+    """Every sample lands on exactly one host, including the ragged tail."""
+    ds = SyntheticLipDataset(size=10, frames=2, raw_size=8)
+    seen = []
+    for p in range(2):
+        b = Batcher(ds, batch_size=4, shuffle=False, drop_last=False,
+                    process_index=p, process_count=2)
+        for batch in b:
+            seen.append(batch["labels"].shape[0])
+    # 10 samples over batches of 4 (global): 4+4+2 -> per host 2+2+1
+    assert sum(seen) == 10
+
+
+def test_attach_plans_per_dataset_crop():
+    """LRW: per-frame offsets in [0, raw-crop]; LRW-1000: one per-clip
+    offset in [0, (raw-crop)//2] (reference data_gen.py:63-66)."""
+    import dataclasses as dc
+    from sbl_for_multilingual_lip_reading_tpu import config as C
+    from sbl_for_multilingual_lip_reading_tpu.training.trainer import (
+        attach_plans)
+    cfg = C.tiny_test("sbl")
+    raw, crop = 40, cfg.data.crop_size
+    B, Tn = 6, 8
+    batch = {
+        "clip_u8": np.zeros((B, Tn, raw, raw), np.uint8),
+        "lang_id": np.array([0, 1] * 3, np.int32),
+    }
+    rng = np.random.default_rng(0)
+    out = attach_plans(batch, rng, cfg, train=True)
+    offs = out["offsets"]
+    border = (raw - crop) // 2
+    for i in range(B):
+        if batch["lang_id"][i] == 1:
+            # per-clip: all frames share one offset, bounded by border
+            assert (offs[i] == offs[i, 0]).all()
+            assert offs[i].max() <= border
+        else:
+            assert offs[i].max() <= raw - crop
+    # per-frame draws virtually surely differ across frames for some clip
+    lrw_offs = offs[np.asarray(batch["lang_id"]) == 0]
+    assert any((o != o[0]).any() for o in lrw_offs)
+
+
+def test_real_datasets_respect_workload_vocab(tmp_path):
+    """The lrw/lrw1000 workloads use their own 42/48-token vocabs; real
+    datasets must encode labels in the requested table, not the unified
+    58-token one (caught live: bigram build crashed with id 52 >= 48)."""
+    from sbl_for_multilingual_lip_reading_tpu.data.datasets import (
+        Lrw1000Dataset)
+    from sbl_for_multilingual_lip_reading_tpu.vocab import (LRW_PHONEMES,
+                                                            LRW1000_PHONEMES)
+    root = tmp_path / "lrw"
+    d = root / "ABOUT" / "train"
+    d.mkdir(parents=True)
+    np.save(d / "ABOUT_00001.npy", np.zeros((4, 16, 16), np.uint8))
+    ds = LrwDataset(str(root), "train", frames=4, pad_len=12, vocab="lrw")
+    lab = ds[0]["labels"]
+    assert lab[lab != IGNORE_ID].max() < len(LRW_PHONEMES)
+    man = tmp_path / "m.txt"
+    man.write_text("dir1,w1,x,zhong guo,0.0,0.4\n")
+    (tmp_path / "images" / "dir1").mkdir(parents=True)
+    ds2 = Lrw1000Dataset(str(tmp_path / "images"), str(man), frames=4,
+                         raw_size=16, vocab="lrw1000")
+    lab2 = ds2[0]["labels"]
+    assert lab2[lab2 != IGNORE_ID].max() < len(LRW1000_PHONEMES)
+    # default stays the unified vocab (SBL workload)
+    ds3 = Lrw1000Dataset(str(tmp_path / "images"), str(man), frames=4,
+                         raw_size=16)
+    assert not np.array_equal(ds3[0]["labels"], lab2)

@@ -58,3 +58,67 @@ def test_dp_tp_train_step_matches_single_device():
         assert not qs.sharding.is_fully_replicated
 
     assert abs(float(m_single["loss"]) - float(m_mesh["loss"])) < 1e-3
+
+
+def test_per_replica_batchnorm_matches_manual_shards():
+    """sync_batchnorm=False: BN statistics are computed per dp shard
+    (DataParallel parity) and differ from the synced global-batch stats;
+    running stats track group 0 (the torch source replica)."""
+    from sbl_for_multilingual_lip_reading_tpu.models.frontend import (
+        GroupedBatchNorm)
+    import flax.linen as nn
+
+    rng = jax.random.PRNGKey(0)
+    dp = 4
+    B, H, W, Ch = 8, 3, 3, 5
+    # make shard distributions differ: shift each group
+    x = jax.random.normal(rng, (B, H, W, Ch), jnp.float32)
+    x = x + jnp.repeat(jnp.arange(dp, dtype=jnp.float32), B // dp
+                       )[:, None, None, None]
+
+    gbn = GroupedBatchNorm(groups=dp, momentum=0.9, epsilon=1e-5)
+    variables = gbn.init(rng, x, use_running_average=False)
+    mesh = make_mesh(data=dp, model=2)
+    xs = jax.device_put(
+        x, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data")))
+
+    @jax.jit
+    def fwd(v, x):
+        return gbn.apply(v, x, use_running_average=False,
+                         mutable=["batch_stats"])
+
+    with mesh:
+        y, mut = fwd(variables, xs)
+    y = np.asarray(y)
+
+    # manual per-shard computation
+    xg = np.asarray(x).reshape(dp, B // dp, H, W, Ch)
+    manual = np.empty_like(xg)
+    for g in range(dp):
+        m = xg[g].mean(axis=(0, 1, 2))
+        v = xg[g].var(axis=(0, 1, 2))
+        manual[g] = (xg[g] - m) / np.sqrt(v + 1e-5)
+    np.testing.assert_allclose(y, manual.reshape(B, H, W, Ch),
+                               atol=1e-4, rtol=1e-4)
+
+    # synced BN (global stats) gives a different answer on skewed shards
+    sbn = nn.BatchNorm(use_running_average=False, momentum=0.9, epsilon=1e-5)
+    vs = sbn.init(rng, x)
+    ys, _ = sbn.apply(vs, x, mutable=["batch_stats"])
+    assert np.abs(y - np.asarray(ys)).max() > 0.1
+
+    # running stats follow group 0 only
+    m0 = xg[0].mean(axis=(0, 1, 2))
+    np.testing.assert_allclose(np.asarray(mut["batch_stats"]["mean"]),
+                               0.1 * m0, atol=1e-5)
+
+
+def test_sync_batchnorm_config_selects_grouped_bn():
+    from sbl_for_multilingual_lip_reading_tpu.models import build_model
+    cfg = C.tiny_test("sbl")
+    cfg = dataclasses.replace(cfg, mesh=C.MeshConfig(data=4, model=2,
+                                                     sync_batchnorm=False))
+    model = build_model(cfg)
+    assert model.frontend.bn_groups == 4
+    cfg2 = dataclasses.replace(cfg, mesh=C.MeshConfig(data=4, model=2))
+    assert build_model(cfg2).frontend.bn_groups == 1

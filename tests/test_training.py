@@ -72,3 +72,44 @@ def test_decode_protocol_gold_length_truncation():
     assert golds == [TOTAL_PHONEMES[3], TOTAL_PHONEMES[4]]
     # raw truncation to 2+1=3 tokens: [sos, 3, 4] -> filtered [3, 4]
     assert preds == [TOTAL_PHONEMES[3], TOTAL_PHONEMES[4]]
+
+
+def test_two_stream_sampler_wired_into_trainer(tmp_path):
+    """cfg.secondary_batch_size routes train batches through
+    TwoStreamBatchSampler: every batch holds a fixed LRW:LRW-1000 ratio
+    (reference classify data_gen.py:340-367)."""
+    import dataclasses
+    cfg = dataclasses.replace(C.tiny_test("classify"), batch_size=4,
+                              secondary_batch_size=1)
+    ds = _dataset(cfg, size=12, kind="all")
+    tr = Trainer(cfg, ds)
+    sampler = tr._make_sampler(0)
+    assert sampler is not None
+    from sbl_for_multilingual_lip_reading_tpu.data.pipeline import Batcher
+    for batch in Batcher(ds, cfg.batch_size, sampler=sampler):
+        lang = np.asarray(batch["lang_id"])
+        assert (lang == 1).sum() == 1 and (lang == 0).sum() == 3
+    # a dataset without stream_indices() fails loudly
+    class NoStreams:
+        def __len__(self):
+            return 4
+    tr2 = Trainer(cfg, ds)
+    tr2.train_dataset = NoStreams()
+    with pytest.raises(ValueError, match="stream_indices"):
+        tr2._make_sampler(0)
+    # and a train_epoch through the sampler actually runs
+    loss = tr.train_epoch(0, max_steps=2)
+    assert np.isfinite(loss)
+
+
+def test_profile_dir_writes_trace(tmp_path):
+    """--profile-dir captures a device trace during epoch 0 (SURVEY §5)."""
+    import os
+    cfg = C.tiny_test("sbl")
+    tr = Trainer(cfg, _dataset(cfg, size=8), profile_dir=str(tmp_path))
+    tr.train_epoch(0, max_steps=4)
+    produced = []
+    for root, _, files in os.walk(tmp_path):
+        produced.extend(files)
+    assert any(f.endswith((".pb", ".json.gz", ".trace.json.gz", ".xplane.pb"))
+               for f in produced), produced
