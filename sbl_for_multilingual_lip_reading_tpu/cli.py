@@ -58,6 +58,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--profile-dir", type=str, default=None,
                    help="capture a jax.profiler device trace of a few "
                         "steady-state steps into this directory")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (the axon TPU plugin ignores "
+                        "JAX_PLATFORMS; this flips jax.config before any "
+                        "device is touched)")
     p.add_argument("--data-fraction", type=float, default=None,
                    help="reference config.py `p`")
     # parallelism
@@ -195,8 +199,15 @@ def make_datasets(cfg, args, eval_split: str = "val"):
     return train, valid
 
 
+def _maybe_force_cpu(args) -> None:
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+
 def run_train(argv=None) -> None:
     args = build_argparser().parse_args(argv)
+    _maybe_force_cpu(args)
     cfg = config_from_args(args)
     from .training import Trainer, checkpoint as ckpt
     train_ds, valid_ds = make_datasets(cfg, args)
@@ -217,6 +228,7 @@ def run_test(argv=None) -> None:
     LRW *test* split and the LRW-1000 eval manifest (tst1.txt), print
     per-direction WER/PER (test.py:51-311)."""
     args = build_argparser().parse_args(argv)
+    _maybe_force_cpu(args)
     cfg = config_from_args(args)
     from .training import Trainer, checkpoint as ckpt
     train_ds, valid_ds = make_datasets(cfg, args, eval_split="test")

@@ -125,6 +125,9 @@ class WorkloadConfig:
     # ~1.5x end-to-end inference; auto-disabled off-TPU and in
     # dropout-active training
     use_pallas_attention: bool = True
+    # whole-decoder-layer Pallas megakernel on deterministic decode steps
+    # (ops/decoder_layer.py); auto-disabled off-TPU and on training steps
+    use_fused_decoder_layer: bool = True
     # rematerialize ResNet blocks in backward (activation-memory saver for
     # the reference's batch-240 recipe on a 16 GB chip)
     remat_frontend: bool = True

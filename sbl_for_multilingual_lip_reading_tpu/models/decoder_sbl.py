@@ -117,11 +117,44 @@ class _SBLLayer(nn.Module):
     dropout: float
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    # Pallas decoder-layer megakernel on the deterministic path (all three
+    # sublayers in one kernel, ops/decoder_layer.py); training keeps the
+    # module composition (dropout + custom VJPs)
+    use_fused_layer: bool = False
+    fused_interpret: bool = False  # force interpret mode (CPU tests)
+
+    def _fused_eligible(self, deterministic) -> bool:
+        if not (self.use_fused_layer and deterministic
+                and self.d_k == self.d_v
+                # the kernel packs qkv/out biases and LN vectors into one
+                # (13, d_model) tile and writes an (.., n_head*d_v) context
+                # back into the d_model-wide residual stream
+                and self.n_head * self.d_k == self.d_model):
+            return False
+        if self.is_initializing():
+            return False  # params are created by the module path
+        from ..ops.attention import available
+        return available() or self.fused_interpret
+
+    def _fused(self, h, kh, vh, slf_mask):
+        from ..ops.decoder_layer import (fused_decoder_layer,
+                                         layer_params_to_args)
+        L = h.shape[1]
+        bias = None
+        if slf_mask is not None:
+            bias = jnp.where(jnp.broadcast_to(slf_mask[0], (L, L)),
+                             -1e9, 0.0).astype(jnp.float32)
+        return fused_decoder_layer(
+            h, *layer_params_to_args(self.variables["params"]),
+            ckh=kh, cvh=vh, mask_bias=bias,
+            interpret=True if self.fused_interpret else None)
 
     @nn.compact
     def __call__(self, h, kh, vh, slf_mask, deterministic):
         from .layers import (CachedCrossAttention, MultiHeadAttention,
                              PositionwiseFeedForward)
+        if self._fused_eligible(deterministic):
+            return self._fused(h, kh, vh, slf_mask)
         h = MultiHeadAttention(
             self.d_model, self.n_head, self.d_k, self.d_v, self.dropout,
             self.dtype, self.use_pallas, name="slf")(
@@ -153,6 +186,8 @@ class _SBLStep(nn.Module):
     fusion_mode: str
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    use_fused_layer: bool = False
+    fused_interpret: bool = False
 
     @nn.compact
     def __call__(self, carry, enc_kv, deterministic, xs):
@@ -191,7 +226,8 @@ class _SBLStep(nn.Module):
         def layer(i):
             return dual_layer(self.d_model, self.n_head, self.d_k, self.d_v,
                               self.d_inner, self.dropout, self.dtype,
-                              self.use_pallas, name=f"layer_{i}")
+                              self.use_pallas, self.use_fused_layer,
+                              self.fused_interpret, name=f"layer_{i}")
 
         h = layer(0)(h, enc_kv[0][0], enc_kv[0][1], first_mask, deterministic)
         h = _fuse_dual(h, step, self.fusion_mode)
@@ -236,6 +272,9 @@ class SBLDecoder(nn.Module):
     teacher_forcing_rate: float = 0.5
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    # decoder-layer megakernel on deterministic (inference/eval) steps
+    use_fused_layer: bool = False
+    fused_interpret: bool = False
     # rematerialize each decode step in backward: the scan otherwise saves
     # 16 steps x 12 layers of (B, 17, d_inner) activations (~1.6 GB at the
     # reference batch 240)
@@ -260,7 +299,8 @@ class SBLDecoder(nn.Module):
         self.step = scan_cls(
             self.vocab_size, self.d_model, self.n_layers, self.n_head,
             self.d_k, self.d_v, self.d_inner, self.dropout, self.pe_maxlen,
-            self.fusion_mode, self.dtype, self.use_pallas)
+            self.fusion_mode, self.dtype, self.use_pallas,
+            self.use_fused_layer, self.fused_interpret)
         # per-layer cross-attention K/V projections, hoisted OUT of the scan
         # so the encoder sequence is projected once per clip, not once per
         # decode step; vmapped over the direction axis (per-direction

@@ -47,16 +47,25 @@ def _ln(x32, scale, bias):
     return (x32 - mu) * jax.lax.rsqrt(var + _LN_EPS) * scale + bias
 
 
-def _heads(x, Bt, L, H, d):
-    """(Bt*L, H*d) -> (Bt*H, L, d) fp32-free head split for batched dots."""
-    return jnp.transpose(x.reshape(Bt, L, H, d), (0, 2, 1, 3)
-                         ).reshape(Bt * H, L, d)
+def _heads(x3, H, d):
+    """(Bt, L, H*d) -> (H*Bt, L, d), HEAD-major batch order.
+
+    Mosaic reshape legality (measured, tools/mosaic_probe.py +
+    fused_layer_probe.py bisects): minor-dim splits are illegal everywhere;
+    row splits are legal only with a wide minor ((272,512)->(16,17,512) OK,
+    (2176,64)->(128,17,64) REJECTED); minor slices and leading concats are
+    always legal.  So the head split never reshapes a d=64-minor tensor:
+    slice heads off the 512-wide minor in 3-D, concat along the leading
+    (batch) axis."""
+    return jnp.concatenate(
+        [x3[:, :, h * d:(h + 1) * d] for h in range(H)], axis=0)
 
 
 def _unheads(x, Bt, H, L, d):
-    """(Bt*H, L, d) -> (Bt*L, H*d)."""
-    return jnp.transpose(x.reshape(Bt, H, L, d), (0, 2, 1, 3)
-                         ).reshape(Bt * L, H * d)
+    """(H*Bt, L, d) head-major -> (Bt, L, H*d): leading split (legal on a
+    64-minor), per-head squeeze, minor concat back to a 512 minor."""
+    x4 = x.reshape(H, Bt, L, d)
+    return jnp.concatenate([x4[h] for h in range(H)], axis=-1)
 
 
 def _attend_batched(q, k, v, bias, scale, Bt, H):
@@ -81,37 +90,63 @@ def _layer_kernel(x_ref, wq_ref, wk_ref, wv_ref, fc_ref, wq2_ref, fc2_ref,
     cdt = x_ref.dtype
     v = {name: vec_ref[i] for i, name in enumerate(_VEC_ROWS)}
 
-    x = x_ref[...].reshape(Bt * L, D)
-    xf = x.astype(jnp.float32)
+    x3 = x_ref[...]                                     # (Bt, L, D)
+    xf3 = x3.astype(jnp.float32)
 
-    def proj(h, w_ref, b):
-        y = jnp.dot(h, w_ref[...], preferred_element_type=jnp.float32)
-        return y + b[None]
+    def proj3(h3d, w_ref, b):
+        # GEMM in 2-D (the row collapse and the wide-minor row split back
+        # are both Mosaic-legal casts), result (Bt, L, Dout) fp32
+        h2d = h3d.reshape(Bt * L, h3d.shape[-1])
+        y = jnp.dot(h2d, w_ref[...], preferred_element_type=jnp.float32)
+        return (y + b[None]).reshape(Bt, L, w_ref.shape[1])
 
     # ---- self-attention sublayer -----------------------------------------
-    qh = _heads(proj(x, wq_ref, v["bq"]).astype(cdt), Bt, L, H, d_k)
-    kh = _heads(proj(x, wk_ref, v["bk"]).astype(cdt), Bt, L, H, d_k)
-    vh = _heads(proj(x, wv_ref, v["bv"]).astype(cdt), Bt, L, H, d_k)
+    qh = _heads(proj3(x3, wq_ref, v["bq"]).astype(cdt), H, d_k)
+    kh = _heads(proj3(x3, wk_ref, v["bk"]).astype(cdt), H, d_k)
+    vh = _heads(proj3(x3, wv_ref, v["bv"]).astype(cdt), H, d_k)
     bias = bias_ref[...].astype(jnp.float32) if has_bias else None
     ctx = _unheads(_attend_batched(qh, kh, vh, bias, scale, Bt, H),
                    Bt, H, L, d_k).astype(cdt)
-    h1 = _ln(proj(ctx, fc_ref, v["fc_b"]) + xf, v["ln1_s"], v["ln1_b"])
+    h1 = _ln(proj3(ctx, fc_ref, v["fc_b"]) + xf3, v["ln1_s"], v["ln1_b"])
     h1c = h1.astype(cdt)
 
     # ---- cached cross-attention sublayer ----------------------------------
-    q2 = _heads(proj(h1c, wq2_ref, v["bq2"]).astype(cdt), Bt, L, H, d_k)
-    ck = jnp.transpose(ckh_ref[...], (0, 2, 1, 3)).reshape(Bt * H, Tk, d_k)
-    cv = jnp.transpose(cvh_ref[...], (0, 2, 1, 3)).reshape(Bt * H, Tk, d_k)
+    q2 = _heads(proj3(h1c, wq2_ref, v["bq2"]).astype(cdt), H, d_k)
+    # head-major (H, Bt) batch order to match _heads
+    ck = jnp.transpose(ckh_ref[...], (2, 0, 1, 3)).reshape(H * Bt, Tk, d_k)
+    cv = jnp.transpose(cvh_ref[...], (2, 0, 1, 3)).reshape(H * Bt, Tk, d_k)
     ctx2 = _unheads(_attend_batched(q2, ck, cv, None, scale, Bt, H),
                     Bt, H, L, d_k).astype(cdt)
-    h2 = _ln(proj(ctx2, fc2_ref, v["fc2_b"]) + h1, v["ln2_s"], v["ln2_b"])
+    h2 = _ln(proj3(ctx2, fc2_ref, v["fc2_b"]) + h1, v["ln2_s"], v["ln2_b"])
     h2c = h2.astype(cdt)
 
     # ---- FFN sublayer ------------------------------------------------------
-    u = jnp.dot(h2c, w1_ref[...], preferred_element_type=jnp.float32)
+    u = jnp.dot(h2c.reshape(Bt * L, D), w1_ref[...],
+                preferred_element_type=jnp.float32)
     u = jnp.maximum(u + b1_ref[0][None], 0.0).astype(cdt)
-    h3 = _ln(proj(u, w2_ref, v["b2"]) + h2, v["ln3_s"], v["ln3_b"])
-    o_ref[...] = h3.reshape(Bt, L, D).astype(o_ref.dtype)
+    h3 = _ln(proj3(u.reshape(Bt, L, u.shape[-1]), w2_ref, v["b2"]) + h2,
+             v["ln3_s"], v["ln3_b"])
+    o_ref[...] = h3.astype(o_ref.dtype)
+
+
+def layer_params_to_args(p) -> tuple:
+    """Flatten an ``_SBLLayer`` param tree (children ``slf``/``cross``/``ffn``,
+    see models/decoder_sbl.py) into the positional weight arguments of
+    :func:`fused_decoder_layer` (everything between ``x`` and ``ckh``)."""
+    slf, cross, ffn = p["slf"], p["cross"], p["ffn"]
+    return (
+        slf["w_qs"]["kernel"], slf["w_qs"]["bias"],
+        slf["w_ks"]["kernel"], slf["w_ks"]["bias"],
+        slf["w_vs"]["kernel"], slf["w_vs"]["bias"],
+        slf["fc"]["kernel"], slf["fc"]["bias"],
+        slf["layer_norm"]["scale"], slf["layer_norm"]["bias"],
+        cross["w_qs"]["kernel"], cross["w_qs"]["bias"],
+        cross["fc"]["kernel"], cross["fc"]["bias"],
+        cross["layer_norm"]["scale"], cross["layer_norm"]["bias"],
+        ffn["w_1"]["kernel"], ffn["w_1"]["bias"],
+        ffn["w_2"]["kernel"], ffn["w_2"]["bias"],
+        ffn["layer_norm"]["scale"], ffn["layer_norm"]["bias"],
+    )
 
 
 def _pick_tile(B: int, cap: int = 16) -> int:

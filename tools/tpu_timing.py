@@ -1,0 +1,61 @@
+"""Robust TPU timing for the axon tunnel.
+
+Two failure modes of naive timing here (measured, tools/megakernel_bisect.py):
+* ``block_until_ready`` does not synchronize real device execution through
+  the tunnel -- a 137-GFLOP matmul "measured" 0.031 ms (4400 TF/s, 22x over
+  v5e peak).
+* repeated dispatch of value-identical (executable, args) pairs can return
+  cached-fast results, so un-chained loops over the same input under-measure.
+
+``chain_t`` defeats both: each iteration feeds the previous output back as
+the first argument (values must keep evolving -- avoid fixed points like
+all-zero decay), and a scalar is fetched to host every ``inner`` calls to
+force materialization, with the fetch round-trip subtracted.
+"""
+from __future__ import annotations
+
+import time
+
+import jax.numpy as jnp
+
+
+def chain_t(fn, x, *rest, iters=10, inner=10):
+    """ms per fn call; fn's output must have the shape/dtype of ``x``."""
+    x = fn(x, *rest)
+    float(jnp.sum(x.reshape(-1)[:8]))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        for _ in range(inner):
+            x = fn(x, *rest)
+        float(jnp.sum(x.reshape(-1)[:8]))
+    dt = (time.perf_counter() - t0) / iters * 1000.0
+    t1 = time.perf_counter()
+    for _ in range(iters):
+        float(jnp.sum(x.reshape(-1)[:8]))
+    rt = (time.perf_counter() - t1) / iters * 1000.0
+    return (dt - rt) / inner
+
+
+def loop_t(fn, *args, iters=20, perturb=None):
+    """ms per fn call for non-chainable fns.  ``perturb(args, i) -> args``
+    must change at least one input value each iteration (or results may be
+    served from a cache); the result is fetched each iteration."""
+    out = fn(*args)
+    _touch(out)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        a = perturb(args, i) if perturb is not None else args
+        out = fn(*a)
+        _touch(out)
+    dt = (time.perf_counter() - t0) / iters * 1000.0
+    t1 = time.perf_counter()
+    for _ in range(iters):
+        _touch(out)
+    rt = (time.perf_counter() - t1) / iters * 1000.0
+    return dt - rt
+
+
+def _touch(out):
+    import jax
+    leaf = jax.tree.leaves(out)[0]
+    float(jnp.sum(leaf.reshape(-1)[:8]).astype(jnp.float32))
