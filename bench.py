@@ -15,6 +15,13 @@ a python-driven decode loop sustains ~10-15% utilization on this mix
 => ~150 clips/s estimated reference throughput.  vs_baseline below is
 measured_clips_per_sec / 150; the 3x north-star is vs_baseline >= 3.
 
+Timing protocol: the axon TPU tunnel neither synchronizes
+``block_until_ready`` with real device execution nor re-executes
+value-identical dispatches (both measured -- tools/tpu_timing.py docstring;
+a 137-GFLOP matmul "timed" at 22x hardware peak under the naive loop).  So
+each iteration perturbs the input batch and fetches a slice of the result
+to host, and the fetch round-trip is measured separately and subtracted.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 from __future__ import annotations
@@ -64,17 +71,27 @@ def main():
     clips = jnp.asarray(
         np.random.default_rng(0).integers(0, 256, size=(B, T, raw, raw),
                                           dtype=np.uint8))
+
+    def fetch(ys):
+        # force materialization on host (block_until_ready alone does not
+        # synchronize through the axon tunnel)
+        leaf = jax.tree_util.tree_leaves(ys)[0]
+        return float(jnp.sum(leaf.reshape(-1)[:8]).astype(jnp.float32))
+
     # warmup / compile
-    ys = recognize_batch(variables, clips)
-    jax.block_until_ready(ys)
+    fetch(recognize_batch(variables, clips))
 
     iters = 20 if on_tpu else 3
     t0 = time.perf_counter()
-    for _ in range(iters):
-        ys = recognize_batch(variables, clips)
-    jax.block_until_ready(ys)
+    for i in range(iters):
+        ys = recognize_batch(variables, clips + np.uint8(i + 1))
+        fetch(ys)
     dt = time.perf_counter() - t0
-    clips_per_sec = B * iters / dt
+    t1 = time.perf_counter()
+    for _ in range(iters):
+        fetch(ys)
+    rtt = time.perf_counter() - t1
+    clips_per_sec = B * iters / max(dt - rtt, 1e-9)
 
     print(json.dumps({
         "metric": "lrw_inference_clips_per_sec_per_chip",

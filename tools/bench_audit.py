@@ -44,7 +44,10 @@ def main():
     dtype = jnp.dtype(cfg.compute_dtype)
 
     @jax.jit
-    def recognize_batch(clips_u8):
+    def _recognize(variables, clips_u8):
+        # variables must be an ARGUMENT: closed-over param trees are
+        # serialized into the remote-compile request body, which the axon
+        # helper rejects with HTTP 413 at full dims (~280 MB fp32).
         Bc = clips_u8.shape[0]
         c = int(round(raw - crop) / 2.0)
         offsets = jnp.full((Bc, T, 2), c, jnp.int32)
@@ -52,6 +55,9 @@ def main():
         fmap = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (Bc, T))
         video = device_ingest(clips_u8, offsets, flip, fmap, crop, dtype)
         return model.apply(variables, video, method=model.recognize)
+
+    def recognize_batch(clips_u8):
+        return _recognize(variables, clips_u8)
 
     clips = jnp.asarray(
         np.random.default_rng(0).integers(0, 256, size=(B, T, raw, raw),

@@ -1,0 +1,102 @@
+"""Honest per-component timing of the inference path (tools/tpu_timing).
+
+Round-1's component split (frontend 55.5ms / encoder 4.4ms / decode 64.4ms
+@B=256, CLAUDE.md) was measured with the broken block_until_ready harness;
+this re-measures each stage with perturbed inputs + per-iteration result
+fetch so the numbers are real.  NO_FUSED_LAYER=1 selects the XLA-composed
+decoder layer; BENCH_B overrides the batch.
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tools.tpu_timing import loop_t
+
+
+def main():
+    from sbl_for_multilingual_lip_reading_tpu import config as C
+    from sbl_for_multilingual_lip_reading_tpu.data.pipeline import device_ingest
+    from sbl_for_multilingual_lip_reading_tpu.models import build_model
+
+    cfg = C.sbl()
+    if os.environ.get("NO_FUSED_LAYER"):
+        import dataclasses
+        cfg = dataclasses.replace(cfg, use_fused_decoder_layer=False)
+    model = build_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    B = int(os.environ.get("BENCH_B", "256"))
+    T, raw, crop = cfg.data.frames, cfg.data.raw_size, cfg.data.crop_size
+    dtype = jnp.dtype(cfg.compute_dtype)
+
+    labels = jnp.zeros((2, cfg.decoder.target_pad_len), jnp.int32)
+    init_video = jnp.zeros((2, T, crop, crop), jnp.float32)
+    variables = jax.jit(
+        lambda: model.init({"params": rng, "dropout": rng, "teacher": rng},
+                           init_video, labels, labels, train=False))()
+
+    rng_np = np.random.default_rng(0)
+    clips = jnp.asarray(rng_np.integers(0, 256, size=(B, T, raw, raw),
+                                        dtype=np.uint8))
+
+    @jax.jit
+    def ingest(v, clips_u8):
+        del v
+        c = int(round(raw - crop) / 2.0)
+        offsets = jnp.full((B, T, 2), c, jnp.int32)
+        flip = jnp.zeros((B,), bool)
+        fmap = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
+        return device_ingest(clips_u8, offsets, flip, fmap, crop, dtype)
+
+    @jax.jit
+    def frontend(v, video):
+        return model.apply(
+            v, method=lambda m: m.frontend(video[..., None], train=False,
+                                           deterministic=True))
+
+    @jax.jit
+    def encoder(v, feats):
+        return model.apply(
+            v, method=lambda m: m.encoder(feats, deterministic=True))
+
+    @jax.jit
+    def decode(v, enc):
+        return model.apply(v, method=lambda m: m.decoder.recognize(enc))
+
+    @jax.jit
+    def full(v, clips_u8):
+        video = ingest(None, clips_u8)
+        return model.apply(v, video, method=model.recognize)
+
+    def pclips(args, i):
+        return (args[0], args[1] + np.uint8(i + 1))
+
+    def pfloat(args, i):
+        return (args[0], args[1] + jnp.asarray(0.001 * (i + 1),
+                                               args[1].dtype))
+
+    video = jax.block_until_ready(ingest(variables, clips))
+    feats = jax.block_until_ready(frontend(variables, video))
+    enc = jax.block_until_ready(encoder(variables, feats))
+    print(f"shapes: video{video.shape} feats{feats.shape} enc{enc.shape}",
+          flush=True)
+
+    for name, fn, args, pert in [
+            ("ingest", ingest, (variables, clips), pclips),
+            ("frontend", frontend, (variables, video), pfloat),
+            ("encoder", encoder, (variables, feats), pfloat),
+            ("decode", decode, (variables, enc), pfloat),
+            ("full recognize", full, (variables, clips), pclips)]:
+        dt = loop_t(fn, *args, iters=10, perturb=pert)
+        print(f"{name:16s} {dt:8.2f} ms  ({B / dt * 1000:8.1f} clips/s)",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
