@@ -36,22 +36,32 @@ def chain_t(fn, x, *rest, iters=10, inner=10):
     return (dt - rt) / inner
 
 
-def loop_t(fn, *args, iters=20, perturb=None):
+def loop_t(fn, *args, iters=20, perturb=None, inner=1):
     """ms per fn call for non-chainable fns.  ``perturb(args, i) -> args``
     must change at least one input value each iteration (or results may be
-    served from a cache); the result is fetched each iteration."""
+    served from a cache); the result is fetched once per ``inner`` calls.
+
+    The fetch that forces materialization costs a full queue-flush round
+    trip through the axon tunnel (~45-60 ms, measured via a B=64 encoder
+    whose compute is <1 ms) and the ready-buffer re-fetch baseline
+    subtracted below does NOT include it, so with inner=1 that sync cost
+    pollutes the result.  Distinct-input dispatches enqueue asynchronously
+    and execute serially, so ``inner`` > 1 amortizes the sync: time/call =
+    compute + sync/inner."""
     out = fn(*args)
     _touch(out)
     t0 = time.perf_counter()
     for i in range(iters):
-        a = perturb(args, i) if perturb is not None else args
-        out = fn(*a)
+        for j in range(inner):
+            a = (perturb(args, i * inner + j) if perturb is not None
+                 else args)
+            out = fn(*a)
         _touch(out)
-    dt = (time.perf_counter() - t0) / iters * 1000.0
+    dt = (time.perf_counter() - t0) / (iters * inner) * 1000.0
     t1 = time.perf_counter()
     for _ in range(iters):
         _touch(out)
-    rt = (time.perf_counter() - t1) / iters * 1000.0
+    rt = (time.perf_counter() - t1) / (iters * inner) * 1000.0
     return dt - rt
 
 
