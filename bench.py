@@ -60,12 +60,8 @@ def main():
 
     @jax.jit
     def recognize_batch(variables, clips_u8):
-        Bc = clips_u8.shape[0]
-        c = int(round(raw - crop) / 2.0)
-        offsets = jnp.full((Bc, T, 2), c, jnp.int32)
-        flip = jnp.zeros((Bc,), bool)
-        fmap = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (Bc, T))
-        video = device_ingest(clips_u8, offsets, flip, fmap, crop, dtype)
+        # eval protocol: static center crop, no flip/frame-map (test.py)
+        video = device_ingest(clips_u8, None, None, None, crop, dtype)
         return model.apply(variables, video, method=model.recognize)
 
     clips = jnp.asarray(

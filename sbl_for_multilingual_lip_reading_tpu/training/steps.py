@@ -44,12 +44,9 @@ def _ingest_train(batch, crop: int, dtype):
 
 
 def _ingest_eval(batch, crop: int, dtype):
-    B, T, H, W = batch["clip_u8"].shape
-    c = int(round(H - crop) / 2.0)
-    offsets = jnp.full((B, T, 2), c, jnp.int32)
-    flip = jnp.zeros((B,), bool)
-    fmap = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
-    return device_ingest(batch["clip_u8"], offsets, flip, fmap, crop, dtype,
+    # eval protocol: static center crop, no flip, identity frame map
+    # (reference test.py CenterCrop) -- compiles to a slice, not a gather
+    return device_ingest(batch["clip_u8"], None, None, None, crop, dtype,
                          n_frames=batch.get("n_frames"))
 
 

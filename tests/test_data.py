@@ -240,6 +240,42 @@ def test_device_ingest_zeroes_time_padding():
     np.testing.assert_allclose(out2[0, 5], (0.0 - T.MEAN) / T.STD, atol=1e-6)
 
 
+def test_device_ingest_static_eval_path_matches_explicit():
+    """offsets/flip/frame_map = None (slice fast path) must equal the
+    explicit center-crop / no-flip / identity-map gather path."""
+    from sbl_for_multilingual_lip_reading_tpu.data.pipeline import (
+        device_ingest)
+    rng = np.random.default_rng(1)
+    B, Tn, raw, crop = 2, 5, 32, 24
+    clips = rng.integers(0, 256, size=(B, Tn, raw, raw), dtype=np.uint8)
+    c = int(round(raw - crop) / 2.0)
+    offsets = np.full((B, Tn, 2), c, np.int32)
+    flip = np.zeros((B,), bool)
+    fmap = np.broadcast_to(np.arange(Tn, dtype=np.int32), (B, Tn)).copy()
+    a = device_ingest(jnp.asarray(clips), jnp.asarray(offsets),
+                      jnp.asarray(flip), jnp.asarray(fmap), crop)
+    b = device_ingest(jnp.asarray(clips), None, None, None, crop)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_device_ingest_gather_crop_matches_numpy():
+    """The two-axis-gather crop must reproduce per-frame numpy slicing."""
+    from sbl_for_multilingual_lip_reading_tpu.data.pipeline import (
+        device_ingest)
+    rng = np.random.default_rng(2)
+    B, Tn, raw, crop = 2, 4, 16, 9
+    clips = rng.integers(0, 256, size=(B, Tn, raw, raw), dtype=np.uint8)
+    offs = rng.integers(0, raw - crop + 1, size=(B, Tn, 2)).astype(np.int32)
+    out = np.asarray(device_ingest(jnp.asarray(clips), jnp.asarray(offs),
+                                   None, None, crop))
+    for b in range(B):
+        for t in range(Tn):
+            y, x = offs[b, t]
+            ref = clips[b, t, y:y + crop, x:x + crop].astype(np.float64)
+            ref = (ref / 255.0 - T.MEAN) / T.STD
+            np.testing.assert_allclose(out[b, t], ref, atol=1e-5)
+
+
 def test_batcher_strided_multihost_ragged_tail():
     """Every sample lands on exactly one host, including the ragged tail."""
     ds = SyntheticLipDataset(size=10, frames=2, raw_size=8)

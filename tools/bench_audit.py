@@ -48,12 +48,7 @@ def main():
         # variables must be an ARGUMENT: closed-over param trees are
         # serialized into the remote-compile request body, which the axon
         # helper rejects with HTTP 413 at full dims (~280 MB fp32).
-        Bc = clips_u8.shape[0]
-        c = int(round(raw - crop) / 2.0)
-        offsets = jnp.full((Bc, T, 2), c, jnp.int32)
-        flip = jnp.zeros((Bc,), bool)
-        fmap = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (Bc, T))
-        video = device_ingest(clips_u8, offsets, flip, fmap, crop, dtype)
+        video = device_ingest(clips_u8, None, None, None, crop, dtype)
         return model.apply(variables, video, method=model.recognize)
 
     def recognize_batch(clips_u8):

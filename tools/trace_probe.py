@@ -84,11 +84,7 @@ def main():
     @jax.jit
     def ingest(v, clips_u8):
         del v
-        c = int(round(raw - crop) / 2.0)
-        offsets = jnp.full((B, T, 2), c, jnp.int32)
-        flip = jnp.zeros((B,), bool)
-        fmap = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
-        return device_ingest(clips_u8, offsets, flip, fmap, crop, dtype)
+        return device_ingest(clips_u8, None, None, None, crop, dtype)
 
     @jax.jit
     def frontend(v, video):
