@@ -144,9 +144,14 @@ class _SBLLayer(nn.Module):
         if slf_mask is not None:
             bias = jnp.where(jnp.broadcast_to(slf_mask[0], (L, L)),
                              -1e9, 0.0).astype(jnp.float32)
+        # CrossKV outputs are flat (B, Tk, H*d); the megakernel wants the
+        # head-split layout (the relayout is loop-invariant and hoisted)
+        B, Tk = kh.shape[0], kh.shape[1]
+        ckh = kh.reshape(B, Tk, self.n_head, self.d_k)
+        cvh = vh.reshape(B, Tk, self.n_head, self.d_v)
         return fused_decoder_layer(
             h, *layer_params_to_args(self.variables["params"]),
-            ckh=kh, cvh=vh, mask_bias=bias,
+            ckh=ckh, cvh=cvh, mask_bias=bias,
             interpret=True if self.fused_interpret else None)
 
     @nn.compact

@@ -73,14 +73,16 @@ class MultiHeadAttention(nn.Module):
 
         B, Tq, _ = q.shape
         Tk = k.shape[1]
-        qh = wq(q).reshape(B, Tq, h, d_k)
-        kh = wk(k).reshape(B, Tk, h, d_k)
-        vh = wv(v).reshape(B, Tk, h, d_v)
+        # projections stay FLAT (B, T, h*d); head split happens in VMEM on
+        # the deterministic Pallas path (the 512 -> (8, 64) minor-dim
+        # reshape is a physical relayout XLA must copy for -- ~8 ms/iter of
+        # decode @B=256 on the device trace) and lazily elsewhere
+        q2, k2, v2 = wq(q), wk(k), wv(v)
 
         scale = 1.0 / np.sqrt(d_k)
         use_pallas = self.use_pallas
         if use_pallas:
-            from ..ops.attention import (available, fused_small_mha,
+            from ..ops.attention import (available, fused_small_mha_flat,
                                          small_mha_grad,
                                          small_mha_dropout_grad)
             if available():
@@ -92,21 +94,29 @@ class MultiHeadAttention(nn.Module):
                         else mask, _MASK_FILL, 0.0).astype(jnp.float32)
                     bias = jnp.broadcast_to(bias, (mb, Tq, Tk))
                 if deterministic:
-                    ctx = fused_small_mha(qh, kh, vh, bias=bias, scale=scale)
-                elif self.dropout == 0.0:
-                    ctx = small_mha_grad(qh, kh, vh, bias, scale)
+                    ctx = fused_small_mha_flat(q2, k2, v2, h, bias=bias,
+                                               scale=scale)
                 else:
-                    # in-kernel attention-prob dropout (mask regenerated in
-                    # the backward kernel from the same seed)
-                    seed = jax.random.randint(
-                        self.make_rng("dropout"), (1,), 0, 2_147_483_647,
-                        dtype=jnp.int32)
-                    ctx = small_mha_dropout_grad(qh, kh, vh, bias, seed,
-                                                 scale, self.dropout)
-                ctx = ctx.reshape(B, Tq, h * d_v)
+                    qh = q2.reshape(B, Tq, h, d_k)
+                    kh = k2.reshape(B, Tk, h, d_k)
+                    vh = v2.reshape(B, Tk, h, d_v)
+                    if self.dropout == 0.0:
+                        ctx = small_mha_grad(qh, kh, vh, bias, scale)
+                    else:
+                        # in-kernel attention-prob dropout (mask regenerated
+                        # in the backward kernel from the same seed)
+                        seed = jax.random.randint(
+                            self.make_rng("dropout"), (1,), 0, 2_147_483_647,
+                            dtype=jnp.int32)
+                        ctx = small_mha_dropout_grad(qh, kh, vh, bias, seed,
+                                                     scale, self.dropout)
+                    ctx = ctx.reshape(B, Tq, h * d_v)
             else:
                 use_pallas = False
         if not use_pallas:
+            qh = q2.reshape(B, Tq, h, d_k)
+            kh = k2.reshape(B, Tk, h, d_k)
+            vh = v2.reshape(B, Tk, h, d_v)
             logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
                                 preferred_element_type=jnp.float32) * scale
             if mask is not None:
@@ -140,17 +150,21 @@ class CrossKV(nn.Module):
 
     @nn.compact
     def __call__(self, enc: Array):
+        """Returns FLAT (B, Tk, h*d) key/value projections; consumers that
+        need the (B, Tk, h, d) head-split layout reshape at use site (for
+        the training kernels XLA hoists that loop-invariant relayout out of
+        the decode scan; the deterministic flat-layout Pallas path needs no
+        reshape at all)."""
         h, d_k, d_v, d_model = self.n_head, self.d_k, self.d_v, self.d_model
         qk_init = nn.initializers.normal(
             stddev=float(np.sqrt(2.0 / (d_model + d_k))))
         v_init = nn.initializers.normal(
             stddev=float(np.sqrt(2.0 / (d_model + d_v))))
-        B, Tk, _ = enc.shape
-        kh = nn.Dense(h * d_k, kernel_init=qk_init, dtype=self.dtype,
-                      name="w_ks")(enc).reshape(B, Tk, h, d_k)
-        vh = nn.Dense(h * d_v, kernel_init=v_init, dtype=self.dtype,
-                      name="w_vs")(enc).reshape(B, Tk, h, d_v)
-        return kh, vh
+        k2 = nn.Dense(h * d_k, kernel_init=qk_init, dtype=self.dtype,
+                      name="w_ks")(enc)
+        v2 = nn.Dense(h * d_v, kernel_init=v_init, dtype=self.dtype,
+                      name="w_vs")(enc)
+        return k2, v2
 
 
 class CachedCrossAttention(nn.Module):
@@ -166,21 +180,22 @@ class CachedCrossAttention(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, q: Array, kh: Array, vh: Array,
+    def __call__(self, q: Array, k2: Array, v2: Array,
                  mask: Optional[Array] = None,
                  deterministic: bool = True) -> Array:
+        """k2/v2: FLAT (B, Tk, h*d) CrossKV outputs."""
         residual = q
         h, d_k, d_v, d_model = self.n_head, self.d_k, self.d_v, self.d_model
         qk_init = nn.initializers.normal(
             stddev=float(np.sqrt(2.0 / (d_model + d_k))))
         B, Tq, _ = q.shape
-        Tk = kh.shape[1]
-        qh = nn.Dense(h * d_k, kernel_init=qk_init, dtype=self.dtype,
-                      name="w_qs")(q).reshape(B, Tq, h, d_k)
+        Tk = k2.shape[1]
+        q2 = nn.Dense(h * d_k, kernel_init=qk_init, dtype=self.dtype,
+                      name="w_qs")(q)
         scale = 1.0 / np.sqrt(d_k)
         use_pallas = self.use_pallas
         if use_pallas:
-            from ..ops.attention import (available, fused_small_mha,
+            from ..ops.attention import (available, fused_small_mha_flat,
                                          small_mha_grad,
                                          small_mha_dropout_grad)
             if available():
@@ -190,19 +205,27 @@ class CachedCrossAttention(nn.Module):
                     bias = jnp.where(jnp.broadcast_to(mask, (mb, Tq, Tk)),
                                      _MASK_FILL, 0.0).astype(jnp.float32)
                 if deterministic:
-                    ctx = fused_small_mha(qh, kh, vh, bias=bias, scale=scale)
-                elif self.dropout == 0.0:
-                    ctx = small_mha_grad(qh, kh, vh, bias, scale)
+                    ctx = fused_small_mha_flat(q2, k2, v2, h, bias=bias,
+                                               scale=scale)
                 else:
-                    seed = jax.random.randint(
-                        self.make_rng("dropout"), (1,), 0, 2_147_483_647,
-                        dtype=jnp.int32)
-                    ctx = small_mha_dropout_grad(qh, kh, vh, bias, seed,
-                                                 scale, self.dropout)
-                ctx = ctx.reshape(B, Tq, h * d_v)
+                    qh = q2.reshape(B, Tq, h, d_k)
+                    kh = k2.reshape(B, Tk, h, d_k)
+                    vh = v2.reshape(B, Tk, h, d_v)
+                    if self.dropout == 0.0:
+                        ctx = small_mha_grad(qh, kh, vh, bias, scale)
+                    else:
+                        seed = jax.random.randint(
+                            self.make_rng("dropout"), (1,), 0, 2_147_483_647,
+                            dtype=jnp.int32)
+                        ctx = small_mha_dropout_grad(qh, kh, vh, bias, seed,
+                                                     scale, self.dropout)
+                    ctx = ctx.reshape(B, Tq, h * d_v)
             else:
                 use_pallas = False
         if not use_pallas:
+            qh = q2.reshape(B, Tq, h, d_k)
+            kh = k2.reshape(B, Tk, h, d_k)
+            vh = v2.reshape(B, Tk, h, d_v)
             logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
                                 preferred_element_type=jnp.float32) * scale
             if mask is not None:

@@ -542,3 +542,91 @@ def fused_small_mha(qh: jnp.ndarray, kh: jnp.ndarray, vh: jnp.ndarray,
         out_specs=pl.BlockSpec((Bt, Tq, H, d), lambda i: (i, 0, 0, 0)),
         interpret=interpret,
     )(*args)
+
+
+def fused_small_mha_flat(q2: jnp.ndarray, k2: jnp.ndarray, v2: jnp.ndarray,
+                         n_head: int,
+                         bias: Optional[jnp.ndarray] = None,
+                         scale: Optional[float] = None,
+                         interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Fused attention taking the projections' FLAT (B, T, H*d) layout.
+
+    ``fused_small_mha`` wants (B, T, H, d), and the minor-dim 512 -> (8, 64)
+    reshape XLA inserts to feed it is a physical relayout: the device trace
+    showed ~8 ms/iter of bf16[2,256,L,8,64] copies around the decode's
+    custom-calls @B=256.  This variant keeps the HBM interface flat on both
+    sides and does the head split/merge in VMEM using only Mosaic-legal
+    moves (64-wide minor slices + leading concats; minor-dim splits are
+    rejected -- measured legality matrix in tools/mosaic_probe.py).
+
+    bias: optional additive (1|B, Tq, Tk) float (broadcast over heads).
+    """
+    B, Tq, D = q2.shape
+    Tk = k2.shape[1]
+    H = n_head
+    assert D % H == 0, (D, H)
+    d = D // H
+    if scale is None:
+        scale = 1.0 / np.sqrt(d)
+    if interpret is None:
+        interpret = not available()
+    Bt = _pick_tile(B, cap=16)
+    out_dtype = q2.dtype
+    has_bias = bias is not None
+    bias_b = bias.shape[0] if has_bias else 1
+
+    def kernel(*refs):
+        if has_bias:
+            q_ref, k_ref, v_ref, b_ref, o_ref = refs
+        else:
+            q_ref, k_ref, v_ref, o_ref = refs
+
+        def heads(ref):
+            # (Bt, T, D) -> (H*Bt, T, d), HEAD-major leading batch
+            x = ref[...].astype(jnp.float32)
+            return jnp.concatenate(
+                [x[:, :, h * d:(h + 1) * d] for h in range(H)], axis=0)
+
+        qf, kf, vf = heads(q_ref), heads(k_ref), heads(v_ref)
+        s = jax.lax.dot_general(
+            qf, kf, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale   # (H*Bt, Tq, Tk)
+        if has_bias:
+            b = b_ref[...].astype(jnp.float32)            # (1|Bt, Tq, Tk)
+            if b.shape[0] == 1:
+                s = s + jnp.broadcast_to(b, (H * Bt, Tq, Tk))
+            else:
+                # tile per-batch bias across the head-major leading axis
+                # (leading concat is legal; reshaping s to split (H, Bt)
+                # with a narrow (Tq, Tk) minor is not)
+                s = s + jnp.concatenate([b] * H, axis=0)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p, vf, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)           # (H*Bt, Tq, d)
+        o4 = o.reshape(H, Bt, Tq, d)
+        o_ref[...] = jnp.concatenate(
+            [o4[h] for h in range(H)], axis=-1).astype(o_ref.dtype)
+
+    in_specs = [
+        pl.BlockSpec((Bt, Tq, D), lambda i: (i, 0, 0)),
+        pl.BlockSpec((Bt, Tk, D), lambda i: (i, 0, 0)),
+        pl.BlockSpec((Bt, Tk, D), lambda i: (i, 0, 0)),
+    ]
+    args = [q2, k2, v2]
+    if has_bias:
+        in_specs.append(pl.BlockSpec(
+            (Bt if bias_b != 1 else 1, Tq, Tk),
+            (lambda i: (i, 0, 0)) if bias_b != 1 else (lambda i: (0, 0, 0))))
+        args.append(bias)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, Tq, D), out_dtype),
+        grid=(B // Bt,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((Bt, Tq, D), lambda i: (i, 0, 0)),
+        interpret=interpret,
+    )(*args)

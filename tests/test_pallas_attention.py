@@ -136,3 +136,42 @@ def test_dropout_kernel_exact_vs_xla_with_extracted_mask():
         small_mha_dropout_grad(q, kh, vh, None, seed, scale, rate) * w))(qh)
     gx = jax.grad(lambda q: jnp.sum(xla(q, kh, vh) * w))(qh)
     np.testing.assert_allclose(np.asarray(gk), np.asarray(gx), atol=2e-3)
+
+
+def test_fused_small_mha_flat_matches_headed():
+    """Flat (B, T, H*d) kernel == the (B, T, H, d) kernel == einsum."""
+    from sbl_for_multilingual_lip_reading_tpu.ops.attention import (
+        fused_small_mha, fused_small_mha_flat)
+    rng = jax.random.PRNGKey(7)
+    B, Tq, Tk, H, d = 4, 17, 30, 8, 16
+    q2 = jax.random.normal(rng, (B, Tq, H * d))
+    k2 = jax.random.normal(jax.random.fold_in(rng, 1), (B, Tk, H * d))
+    v2 = jax.random.normal(jax.random.fold_in(rng, 2), (B, Tk, H * d))
+    out = fused_small_mha_flat(q2, k2, v2, H, interpret=True)
+    expect = fused_small_mha(q2.reshape(B, Tq, H, d),
+                             k2.reshape(B, Tk, H, d),
+                             v2.reshape(B, Tk, H, d), interpret=True)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(expect.reshape(B, Tq, H * d)),
+                               atol=1e-5)
+
+
+def test_fused_small_mha_flat_bias_variants():
+    from sbl_for_multilingual_lip_reading_tpu.ops.attention import (
+        fused_small_mha, fused_small_mha_flat)
+    rng = jax.random.PRNGKey(8)
+    B, T, H, d = 4, 9, 2, 8
+    q2 = jax.random.normal(rng, (B, T, H * d))
+    k2 = jax.random.normal(jax.random.fold_in(rng, 1), (B, T, H * d))
+    v2 = jax.random.normal(jax.random.fold_in(rng, 2), (B, T, H * d))
+    causal = jnp.where(M.causal_mask(T), -1e9, 0.0)[None]        # (1, T, T)
+    perb = jnp.tile(jnp.where(M.causal_mask(T), -1e9, 0.0)[None],
+                    (B, 1, 1))                                   # (B, T, T)
+    for bias in (causal, perb):
+        out = fused_small_mha_flat(q2, k2, v2, H, bias=bias, interpret=True)
+        expect = fused_small_mha(q2.reshape(B, T, H, d),
+                                 k2.reshape(B, T, H, d),
+                                 v2.reshape(B, T, H, d), bias=bias,
+                                 interpret=True).reshape(B, T, H * d)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                                   atol=1e-5)
