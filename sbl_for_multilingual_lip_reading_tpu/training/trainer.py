@@ -133,7 +133,8 @@ class Trainer:
     def __init__(self, cfg, train_dataset, valid_datasets: Optional[Dict] = None,
                  checkpoint_dir: Optional[str] = None, mesh=None,
                  tensorboard_dir: Optional[str] = None,
-                 halt_on_nan: bool = True, profile_dir: Optional[str] = None):
+                 halt_on_nan: bool = True, profile_dir: Optional[str] = None,
+                 cache_on_device: bool = False):
         self.cfg = cfg
         self.logger = get_logger()
         self.writer = None
@@ -176,6 +177,15 @@ class Trainer:
         self.checkpoint_dir = checkpoint_dir
         self.best_metric = float("inf")
         self.epochs_since_improvement = 0
+        # device-resident dataset: upload every clip ONCE and gather each
+        # batch on-device by index.  The per-step host->device clip transfer
+        # (B=240 x 276 KB = 66 MB) otherwise dominates wall time on remote
+        # TPU links (measured ~45 s/epoch of pure transfer on the axon
+        # tunnel); only sensible for datasets that fit HBM (uint8 clips:
+        # ~3.6k clips/GB)
+        self.cache_on_device = cache_on_device
+        self._dev_clips = None
+        self._host_small = None
 
     # ------------------------------------------------------------------ train
     def _make_sampler(self, epoch: int):
@@ -198,14 +208,52 @@ class Trainer:
         return TwoStreamBatchSampler(primary, secondary, self.cfg.batch_size,
                                      sec, seed=self.cfg.seed + epoch)
 
+    def _ensure_device_cache(self):
+        if self._dev_clips is not None:
+            return
+        ds = self.train_dataset
+        n = len(ds)
+        samples = [ds[i] for i in range(n)]
+        clips = np.stack([s["clip_u8"] for s in samples])
+        self._dev_clips = jnp.asarray(clips)          # one-time upload
+        self._host_small = {
+            k: np.stack([s[k] for s in samples])
+            for k in samples[0] if k != "clip_u8"
+        }
+        self.logger.info(
+            f"device cache: {n} clips ({clips.nbytes / 1e9:.2f} GB) resident")
+
+    def _device_batches(self, epoch: int):
+        """Batches whose clips are gathered on-device from the resident
+        dataset; only indices, labels and augmentation plans cross the
+        link (~100 KB/step instead of ~66 MB)."""
+        self._ensure_device_cache()
+        B = self.cfg.batch_size
+        order = np.random.default_rng(self.cfg.seed + epoch).permutation(
+            len(self.train_dataset))
+        shape_stub = np.broadcast_to(np.uint8(0),
+                                     (B,) + self._dev_clips.shape[1:])
+        for s in range(0, (len(order) // B) * B, B):
+            idx = order[s:s + B]
+            batch = {k: v[idx] for k, v in self._host_small.items()}
+            batch = attach_plans({**batch, "clip_u8": shape_stub},
+                                 self.np_rng, self.cfg, train=True)
+            batch["clip_u8"] = jnp.take(self._dev_clips,
+                                        jnp.asarray(idx), axis=0)
+            yield batch
+
     def train_epoch(self, epoch: int = 0, max_steps: Optional[int] = None
                     ) -> float:
         losses = AverageMeter()
-        batcher = Batcher(self.train_dataset, self.cfg.batch_size,
-                          shuffle=True, seed=self.cfg.seed + epoch,
-                          sampler=self._make_sampler(epoch))
-        it = (attach_plans(b, self.np_rng, self.cfg, train=True)
-              for b in batcher)
+        if self.cache_on_device:
+            batcher = None
+            it = self._device_batches(epoch)
+        else:
+            batcher = Batcher(self.train_dataset, self.cfg.batch_size,
+                              shuffle=True, seed=self.cfg.seed + epoch,
+                              sampler=self._make_sampler(epoch))
+            it = (attach_plans(b, self.np_rng, self.cfg, train=True)
+                  for b in batcher)
         sharding = None
         if self.mesh is not None:
             from ..parallel import batch_sharding
@@ -238,8 +286,11 @@ class Trainer:
                     self.writer.add_scalar("train/loss", loss,
                                            int(self.state.step))
                 if i % 50 == 0:
+                    n_batches = (len(batcher) if batcher is not None else
+                                 len(self.train_dataset)
+                                 // self.cfg.batch_size)
                     self.logger.info(
-                        f"Epoch: [{epoch}][{i}/{len(batcher)}]\t"
+                        f"Epoch: [{epoch}][{i}/{n_batches}]\t"
                         f"Loss {losses.val:.5f} ({losses.avg:.5f})\t"
                         f"{self.timer.clips_per_sec:.1f} clips/s")
         finally:

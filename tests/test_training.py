@@ -113,3 +113,23 @@ def test_profile_dir_writes_trace(tmp_path):
         produced.extend(files)
     assert any(f.endswith((".pb", ".json.gz", ".trace.json.gz", ".xplane.pb"))
                for f in produced), produced
+
+
+def test_device_cache_epoch_matches_host_path():
+    """cache_on_device gathers batches on-device by index; the training
+    stream (shuffle order, plans, losses) must match the host Batcher
+    path exactly."""
+    import dataclasses
+    from sbl_for_multilingual_lip_reading_tpu.data import (
+        SyntheticPatternDataset)
+    cfg = C.tiny_test("sbl")
+    cfg = dataclasses.replace(cfg, batch_size=4)
+    mk = dict(n_words=4, samples_per_word=3, frames=cfg.data.frames,
+              raw_size=cfg.data.raw_size)
+    losses = []
+    for cache in (False, True):
+        ds = SyntheticPatternDataset(**mk)
+        tr = Trainer(cfg, ds, cache_on_device=cache)
+        losses.append(tr.train_epoch(0))
+    assert np.isfinite(losses[0])
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)

@@ -50,7 +50,7 @@ def run_full_dims(args) -> int:
         c = dataclasses.replace(
             cfg, decoder=dataclasses.replace(cfg.decoder,
                                              teacher_forcing_rate=tf_rate))
-        return Trainer(c, train_ds, {"heldout": held})
+        return Trainer(c, train_ds, {"heldout": held}, cache_on_device=True)
 
     tr = make_trainer(0.5)
     t0 = time.time()
@@ -59,8 +59,10 @@ def run_full_dims(args) -> int:
         if not staged and epoch >= args.stage2_epoch:
             # stage 2: anneal teacher forcing 0.5 -> 0.1 (README.md:62-68)
             state, rng = tr.state, tr.rng
+            cache = (tr._dev_clips, tr._host_small)
             tr = make_trainer(0.1)
             tr.state, tr.rng = state, rng
+            tr._dev_clips, tr._host_small = cache
             staged = True
             print(f"epoch {epoch}: teacher forcing -> 0.1", flush=True)
         loss = tr.train_epoch(epoch)
