@@ -177,6 +177,10 @@ class VisualFrontend(nn.Module):
     # contiguous batch groups; set to the dp mesh size so each group's
     # stats reduce on one device (MeshConfig.sync_batchnorm=False)
     bn_groups: int = 1
+    # one-pass Pallas temporal-stack kernel (ops/stem.py) on TPU; XLA's
+    # dynamic-update-slice stack chain measured ~6.7 ms/iter @B=256 for
+    # ~600 MB written (~8x over bandwidth)
+    use_pallas_stem: bool = True
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False,
@@ -196,15 +200,23 @@ class VisualFrontend(nn.Module):
             (kt, 7, 7, 1, self.conv3d_channels), jnp.float32)
         k2d = jnp.transpose(kernel3d[:, :, :, 0, :],
                             (1, 2, 0, 3)).astype(self.dtype)  # (7,7,kt,C)
-        xp = jnp.pad(x[..., 0], ((0, 0), (kt // 2, kt // 2), (0, 0), (0, 0)))
-        xs = jnp.stack([xp[:, i:i + T] for i in range(kt)], axis=-1)
-        xs = xs.reshape(B * T, S, S, kt)
-        # keep XLA from fusing the frame-stack into the conv: fused, it
-        # picks a pathological layout (~5ms slower at B=256)
-        xs = jax.lax.optimization_barrier(xs)
+        from ..ops.attention import available as _pallas_ok
+        if self.use_pallas_stem and _pallas_ok():
+            from ..ops.stem import stack_frames
+            xs = stack_frames(x[..., 0], kt).reshape(B * T, kt, S, S)
+            lhs_spec = "NCHW"
+        else:
+            xp = jnp.pad(x[..., 0],
+                         ((0, 0), (kt // 2, kt // 2), (0, 0), (0, 0)))
+            xs = jnp.stack([xp[:, i:i + T] for i in range(kt)], axis=-1)
+            xs = xs.reshape(B * T, S, S, kt)
+            # keep XLA from fusing the frame-stack into the conv: fused, it
+            # picks a pathological layout (~5ms slower at B=256)
+            xs = jax.lax.optimization_barrier(xs)
+            lhs_spec = "NHWC"
         x = jax.lax.conv_general_dilated(
             xs, k2d, window_strides=(2, 2), padding=((3, 3), (3, 3)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            dimension_numbers=(lhs_spec, "HWIO", "NHWC"),
             preferred_element_type=self.dtype)
         if self.bn_groups > 1:
             x = GroupedBatchNorm(self.bn_groups, self.bn_momentum,
