@@ -126,8 +126,13 @@ class WorkloadConfig:
     # dropout-active training
     use_pallas_attention: bool = True
     # whole-decoder-layer Pallas megakernel on deterministic decode steps
-    # (ops/decoder_layer.py); auto-disabled off-TPU and on training steps
-    use_fused_decoder_layer: bool = True
+    # (ops/decoder_layer.py); auto-disabled off-TPU and on training steps.
+    # Default OFF: honest timing (tools/fused_layer_probe.py with chained
+    # dispatch) measured ~0.80 ms/layer-call vs ~0.83 for the XLA
+    # composition at B=256/L=17 -- not worth its multi-minute Mosaic
+    # compile, and at (B=240, L=5) the direction-vmapped kernel overflowed
+    # the 16 MB scoped VMEM.  Kept as an option for further fusion work.
+    use_fused_decoder_layer: bool = False
     # rematerialize ResNet blocks in backward (activation-memory saver for
     # the reference's batch-240 recipe on a 16 GB chip)
     remat_frontend: bool = True

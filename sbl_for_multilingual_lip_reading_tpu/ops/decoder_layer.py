@@ -149,7 +149,9 @@ def layer_params_to_args(p) -> tuple:
     )
 
 
-def _pick_tile(B: int, cap: int = 16) -> int:
+def _pick_tile(B: int, cap: int = 8) -> int:
+    # cap 8: tile 16 exceeded the 16 MB scoped VMEM limit by ~2.7 MB when
+    # the kernel runs direction-vmapped with (Tk=30) cross K/V blocks
     t = min(B, cap)
     while B % t:
         t -= 1
