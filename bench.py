@@ -77,17 +77,25 @@ def main():
     # warmup / compile
     fetch(recognize_batch(variables, clips))
 
-    iters = 20 if on_tpu else 3
+    # Amortize the queue-flush sync (a ~30-60 ms tunnel round trip) over
+    # ``inner`` distinct dispatches per fetch: dispatches enqueue
+    # asynchronously and execute serially, so the fetch of the last result
+    # syncs them all.  Every input is distinct (no result caching) and
+    # every output is computed; the ready-buffer re-fetch baseline is
+    # subtracted.
+    outer, inner = (5, 4) if on_tpu else (3, 1)
     t0 = time.perf_counter()
-    for i in range(iters):
-        ys = recognize_batch(variables, clips + np.uint8(i + 1))
+    for i in range(outer):
+        for j in range(inner):
+            ys = recognize_batch(variables,
+                                 clips + np.uint8(i * inner + j + 1))
         fetch(ys)
     dt = time.perf_counter() - t0
     t1 = time.perf_counter()
-    for _ in range(iters):
+    for _ in range(outer):
         fetch(ys)
     rtt = time.perf_counter() - t1
-    clips_per_sec = B * iters / max(dt - rtt, 1e-9)
+    clips_per_sec = B * outer * inner / max(dt - rtt, 1e-9)
 
     print(json.dumps({
         "metric": "lrw_inference_clips_per_sec_per_chip",

@@ -58,6 +58,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--profile-dir", type=str, default=None,
                    help="capture a jax.profiler device trace of a few "
                         "steady-state steps into this directory")
+    p.add_argument("--cache-on-device", action="store_true",
+                   help="upload the whole training set to HBM once and "
+                        "gather batches on-device by index (for datasets "
+                        "that fit; kills the per-step host clip transfer "
+                        "on remote-attached TPUs)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (the axon TPU plugin ignores "
                         "JAX_PLATFORMS; this flips jax.config before any "
@@ -212,7 +217,8 @@ def run_train(argv=None) -> None:
     from .training import Trainer, checkpoint as ckpt
     train_ds, valid_ds = make_datasets(cfg, args)
     tr = Trainer(cfg, train_ds, valid_ds, checkpoint_dir=args.save_dir,
-                 profile_dir=args.profile_dir)
+                 profile_dir=args.profile_dir,
+                 cache_on_device=args.cache_on_device)
     if args.transfer_from:
         tr.state, _ = ckpt.restore_for_transfer(args.transfer_from, tr.state)
     elif args.checkpoint and os.path.isdir(args.checkpoint):
