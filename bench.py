@@ -47,7 +47,9 @@ def main():
         cfg = C.tiny_test("sbl")
     model = build_model(cfg)
     rng = jax.random.PRNGKey(0)
-    B = 256 if on_tpu else 4
+    # B=512 fits HBM and measures ~12% higher than 256 (better sync
+    # amortization at equal device efficiency)
+    B = 512 if on_tpu else 4
     T, raw, crop = cfg.data.frames, cfg.data.raw_size, cfg.data.crop_size
 
     labels = jnp.zeros((2, cfg.decoder.target_pad_len), jnp.int32)

@@ -548,7 +548,8 @@ def fused_small_mha_flat(q2: jnp.ndarray, k2: jnp.ndarray, v2: jnp.ndarray,
                          n_head: int,
                          bias: Optional[jnp.ndarray] = None,
                          scale: Optional[float] = None,
-                         interpret: Optional[bool] = None) -> jnp.ndarray:
+                         interpret: Optional[bool] = None,
+                         tile_cap: int = 16) -> jnp.ndarray:
     """Fused attention taking the projections' FLAT (B, T, H*d) layout.
 
     ``fused_small_mha`` wants (B, T, H, d), and the minor-dim 512 -> (8, 64)
@@ -570,7 +571,7 @@ def fused_small_mha_flat(q2: jnp.ndarray, k2: jnp.ndarray, v2: jnp.ndarray,
         scale = 1.0 / np.sqrt(d)
     if interpret is None:
         interpret = not available()
-    Bt = _pick_tile(B, cap=16)
+    Bt = _pick_tile(B, cap=tile_cap)
     out_dtype = q2.dtype
     has_bias = bias is not None
     bias_b = bias.shape[0] if has_bias else 1
