@@ -36,3 +36,20 @@ def test_stack_frames_u8_matches_ingest_plus_stack():
     expect = _xla_stack(video, 5)
     np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
                                atol=2e-5)
+
+
+def test_stem_conv_nchw_equals_nhwc():
+    """The Pallas-stem path feeds the stem conv (B*T, kt, S, S) with NCHW
+    dimension_numbers; the XLA path feeds (B*T, S, S, kt) NHWC.  Identical
+    math must come out."""
+    rng = np.random.default_rng(3)
+    N, S, kt, C = 4, 16, 5, 8
+    x_nchw = jnp.asarray(rng.standard_normal((N, kt, S, S)), jnp.float32)
+    x_nhwc = jnp.transpose(x_nchw, (0, 2, 3, 1))
+    k = jnp.asarray(rng.standard_normal((7, 7, kt, C)) * 0.1, jnp.float32)
+    kwargs = dict(window_strides=(2, 2), padding=((3, 3), (3, 3)))
+    a = jax.lax.conv_general_dilated(
+        x_nchw, k, dimension_numbers=("NCHW", "HWIO", "NHWC"), **kwargs)
+    b = jax.lax.conv_general_dilated(
+        x_nhwc, k, dimension_numbers=("NHWC", "HWIO", "NHWC"), **kwargs)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
