@@ -112,6 +112,11 @@ class LrwDataset:
                 "labels_reverse": labels_rev, "lang_id": np.int32(0),
                 "word_id": word_id, "n_frames": np.int32(n)}
 
+    def labels_only(self, i: int) -> np.ndarray:
+        """Label ids without touching pixel data (corpus scans, e.g. the
+        bigram-LM builder, must not pay a clip decode per sample)."""
+        return self._labels[self.samples[i][1]][0]
+
 
 class Lrw1000Dataset:
     """LRW-1000 clips as jpg frame directories + a (clean) manifest
@@ -174,6 +179,11 @@ class Lrw1000Dataset:
             out["audio"] = self._load_audio(e)
         return out
 
+    def labels_only(self, i: int) -> np.ndarray:
+        """Label ids without decoding any jpg frames."""
+        ids = encode_pinyin_ids(self.entries[i].pinyins, self.vocab)
+        return _pad_labels(ids, self.pad_len)
+
     def _load_audio(self, e: Lrw1000Entry) -> np.ndarray:
         """(audio_pad_frames, audio_dim * lfr_m) fbank+LFR features."""
         from .audio import build_lfr_features, extract_fbank
@@ -211,6 +221,11 @@ class MixedBilingualDataset:
         if i < len(self.lrw):
             return self.lrw[i]
         return self.lrw1000[i - len(self.lrw)]
+
+    def labels_only(self, i: int) -> np.ndarray:
+        if i < len(self.lrw):
+            return self.lrw.labels_only(i)
+        return self.lrw1000.labels_only(i - len(self.lrw))
 
     def stream_indices(self):
         """(primary LRW indices, secondary LRW-1000 indices) for the

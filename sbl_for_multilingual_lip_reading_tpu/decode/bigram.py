@@ -42,9 +42,19 @@ def build_bigram_matrix(sequences: Iterable[Sequence[int]], vocab_size: int,
 
 def bigram_from_dataset(dataset, vocab_size: int, ignore_id: int = -1,
                         floor: float = 1e-6) -> np.ndarray:
-    """Build the bigram table from any dataset yielding 'labels' arrays."""
+    """Build the bigram table from any dataset yielding 'labels' arrays.
+
+    Prefers the dataset's ``labels_only(i)`` accessor when present:
+    ``__getitem__`` on the real loaders decodes a full clip (up to 30 jpg
+    reads on LRW-1000) per sample, which a corpus scan over the train
+    manifest must not pay."""
+    get = getattr(dataset, "labels_only", None)
+    if get is None:
+        def get(i):
+            return dataset[i]["labels"]
+
     def seqs():
         for i in range(len(dataset)):
-            lab = np.asarray(dataset[i]["labels"])
+            lab = np.asarray(get(i))
             yield lab[lab != ignore_id]
     return build_bigram_matrix(seqs(), vocab_size, floor=floor)

@@ -149,13 +149,11 @@ def layer_params_to_args(p) -> tuple:
     )
 
 
-def _pick_tile(B: int, cap: int = 8) -> int:
+def _pick_tile(B: int) -> int:
     # cap 8: tile 16 exceeded the 16 MB scoped VMEM limit by ~2.7 MB when
     # the kernel runs direction-vmapped with (Tk=30) cross K/V blocks
-    t = min(B, cap)
-    while B % t:
-        t -= 1
-    return t
+    from .attention import _pick_tile as pick
+    return pick(B, cap=8)
 
 
 def fused_decoder_layer(x: jnp.ndarray,

@@ -16,8 +16,13 @@ caller); the conv's dimension_numbers absorb the channel position, so the
 layout XLA picks for the conv input is unchanged.
 
 ``stack_frames_u8`` additionally fuses the eval ingest (center crop +
-ColorNormalize, data/pipeline.py::device_ingest) so the uint8 clip batch
-goes HBM -> stacked bf16 in a single kernel.
+ColorNormalize, data/pipeline.py::device_ingest) so a uint8 clip batch can
+go HBM -> stacked bf16 in a single kernel.  NOT yet wired into any driver:
+the eval path runs device_ingest (a pure slice since the static-crop fix,
+~1.5 ms @B=256) followed by ``stack_frames``, and fusing them would need
+the frontend to accept pre-stacked input; it also has no ``n_frames``
+time-pad zeroing, so it only matches fixed-length (LRW-style) eval
+batches.  Kept as the measured candidate for that future fusion.
 """
 from __future__ import annotations
 

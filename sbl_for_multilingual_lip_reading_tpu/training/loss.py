@@ -59,13 +59,22 @@ def classify_loss(word_logits: Array, word_labels: Array,
                   lang_logits: Array, lang_labels: Array,
                   language_weight: float = 0.1) -> Tuple[Array, Array, Array]:
     """Joint word + language CE (reference classify/train.py:127-130).
-    Returns (total_loss, word_correct, lang_correct)."""
+    Returns (total_loss, word_correct, lang_correct).
+
+    Samples with label < 0 (``word_class_id``'s unknown-word sentinel) are
+    EXCLUDED from loss and accuracy: ``take_along_axis`` would otherwise
+    wrap -1 to the last class and actively train toward it."""
     def ce(logits, labels):
+        valid = labels >= 0
+        safe = jnp.where(valid, labels, 0)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        return -jnp.mean(jnp.take_along_axis(logp, labels[:, None],
-                                             axis=-1)[:, 0])
+        nll = -jnp.take_along_axis(logp, safe[:, None], axis=-1)[:, 0]
+        n = jnp.maximum(jnp.sum(valid), 1)
+        return jnp.sum(jnp.where(valid, nll, 0.0)) / n
     loss = ce(word_logits, word_labels) + language_weight * ce(lang_logits,
                                                                lang_labels)
-    w_ok = jnp.sum(jnp.argmax(word_logits, -1) == word_labels)
-    l_ok = jnp.sum(jnp.argmax(lang_logits, -1) == lang_labels)
+    w_ok = jnp.sum((jnp.argmax(word_logits, -1) == word_labels)
+                   & (word_labels >= 0))
+    l_ok = jnp.sum((jnp.argmax(lang_logits, -1) == lang_labels)
+                   & (lang_labels >= 0))
     return loss, w_ok, l_ok

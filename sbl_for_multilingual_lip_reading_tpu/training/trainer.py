@@ -246,6 +246,12 @@ class Trainer:
                     ) -> float:
         losses = AverageMeter()
         if self.cache_on_device:
+            if getattr(self.cfg, "secondary_batch_size", 0):
+                raise ValueError(
+                    "cache_on_device uses plain shuffling and would "
+                    "silently drop the fixed-ratio TwoStreamBatchSampler "
+                    "protocol; unset secondary_batch_size or the device "
+                    "cache")
             batcher = None
             it = self._device_batches(epoch)
         else:

@@ -83,3 +83,29 @@ def test_meters_and_topk():
     scores = np.array([[0.1, 0.9], [0.8, 0.2]])
     assert topk_accuracy(scores, np.array([1, 1]), k=1) == 50.0
     assert topk_accuracy(scores, np.array([1, 1]), k=2) == 100.0
+
+
+def test_classify_loss_ignores_unknown_word_sentinel():
+    """word_class_id returns -1 for unknown words; those samples must be
+    excluded from loss/accuracy, not wrapped to the last class by
+    take_along_axis."""
+    import jax.numpy as jnp
+    from sbl_for_multilingual_lip_reading_tpu.training.loss import (
+        classify_loss)
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.standard_normal((4, 10)), jnp.float32)
+    lang_logits = jnp.asarray(rng.standard_normal((4, 2)), jnp.float32)
+    lang = jnp.asarray([0, 1, 0, 1], jnp.int32)
+    labels = jnp.asarray([3, -1, 5, -1], jnp.int32)
+    loss_m, w_ok, _ = classify_loss(logits, labels, lang_logits, lang)
+    # identical to dropping the sentinel rows entirely
+    keep = jnp.asarray([0, 2])
+    loss_k, w_ok_k, _ = classify_loss(
+        logits[keep], labels[keep], lang_logits, lang)
+    np.testing.assert_allclose(float(loss_m) - float(loss_k), 0.0, atol=2e-6)
+    assert int(w_ok) == int(w_ok_k) <= 2
+    # and a label of -1 never counts as correct even if class C-1 is argmax
+    logits9 = jnp.zeros((1, 10)).at[0, 9].set(5.0)
+    _, w_ok2, _ = classify_loss(logits9, jnp.asarray([-1]),
+                                jnp.zeros((1, 2)), jnp.asarray([0]))
+    assert int(w_ok2) == 0
