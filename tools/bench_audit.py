@@ -31,6 +31,10 @@ def main():
     if os.environ.get("NO_FUSED_LAYER"):
         import dataclasses
         cfg = dataclasses.replace(cfg, use_fused_decoder_layer=False)
+    if os.environ.get("SEGMENTS"):
+        import dataclasses
+        cfg = dataclasses.replace(cfg, decoder=dataclasses.replace(
+            cfg.decoder, decode_segments=int(os.environ["SEGMENTS"])))
     model = build_model(cfg)
     rng = jax.random.PRNGKey(0)
     B = int(os.environ.get("BENCH_B", "256"))
