@@ -58,7 +58,11 @@ class DecoderConfig:
     teacher_forcing_rate: float = 0.5     # P(use gold) per step (decoder.py:176)
     # growing-buffer scan segments (see decoder_sbl._segments); more
     # segments = less padded compute but more compiled scan bodies
-    decode_segments: int = 4
+    # 8 growing-buffer scan segments (widths 3,5,...,17): ~9% fewer decode
+    # position-steps than 4 segments; measured +3.3% end-to-end @B=512 for
+    # ~3 min extra compile.  Results are bit-identical at any segment count
+    # (test_decode_segments_equivalent).
+    decode_segments: int = 8
 
 
 @dataclasses.dataclass(frozen=True)
