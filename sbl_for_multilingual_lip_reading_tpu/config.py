@@ -125,9 +125,10 @@ class WorkloadConfig:
     # fixed LRW-1000 samples per batch via TwoStreamBatchSampler
     # (reference classify data_gen.py:340-367); 0 = plain shuffling
     secondary_batch_size: int = 0
-    # fused small-T Pallas attention (ops/attention.py::fused_small_mha):
-    # ~1.5x end-to-end inference; auto-disabled off-TPU and in
-    # dropout-active training
+    # fused small-T Pallas attention (ops/attention.py, flat-layout
+    # variant): 1.46x end-to-end inference (honest ablation @B=512:
+    # 326 -> 223 ms/iter); auto-disabled off-TPU and in dropout-active
+    # training
     use_pallas_attention: bool = True
     # whole-decoder-layer Pallas megakernel on deterministic decode steps
     # (ops/decoder_layer.py); auto-disabled off-TPU and on training steps.

@@ -35,6 +35,9 @@ def main():
         import dataclasses
         cfg = dataclasses.replace(cfg, decoder=dataclasses.replace(
             cfg.decoder, decode_segments=int(os.environ["SEGMENTS"])))
+    if os.environ.get("NO_PALLAS_ATTN"):
+        import dataclasses
+        cfg = dataclasses.replace(cfg, use_pallas_attention=False)
     model = build_model(cfg)
     rng = jax.random.PRNGKey(0)
     B = int(os.environ.get("BENCH_B", "256"))
