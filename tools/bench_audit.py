@@ -38,7 +38,12 @@ def main():
     if os.environ.get("NO_PALLAS_ATTN"):
         import dataclasses
         cfg = dataclasses.replace(cfg, use_pallas_attention=False)
+    no_stem = bool(os.environ.get("NO_PALLAS_STEM"))
     model = build_model(cfg)
+    if no_stem:
+        import dataclasses
+        model = dataclasses.replace(model, frontend=dataclasses.replace(
+            model.frontend, use_pallas_stem=False))
     rng = jax.random.PRNGKey(0)
     B = int(os.environ.get("BENCH_B", "256"))
     T, raw, crop = cfg.data.frames, cfg.data.raw_size, cfg.data.crop_size
