@@ -70,11 +70,15 @@ def main():
         np.random.default_rng(0).integers(0, 256, size=(B, T, raw, raw),
                                           dtype=np.uint8))
 
-    def fetch(ys):
+    def fetch(ys, salt=0):
         # force materialization on host (block_until_ready alone does not
-        # synchronize through the axon tunnel)
+        # synchronize through the axon tunnel); ``salt`` offsets the summed
+        # slice so repeated fetches of a ready buffer are value-distinct
+        # dispatches (the tunnel can serve value-identical dispatches
+        # cached-fast — tools/tpu_timing.py)
         leaf = jax.tree_util.tree_leaves(ys)[0]
-        return float(jnp.sum(leaf.reshape(-1)[:8]).astype(jnp.float32))
+        return float(jnp.sum(leaf.reshape(-1)[salt:salt + 8])
+                     .astype(jnp.float32))
 
     # warmup / compile
     fetch(recognize_batch(variables, clips))
@@ -94,8 +98,8 @@ def main():
         fetch(ys)
     dt = time.perf_counter() - t0
     t1 = time.perf_counter()
-    for _ in range(outer):
-        fetch(ys)
+    for k in range(outer):
+        fetch(ys, salt=k + 1)
     rtt = time.perf_counter() - t1
     clips_per_sec = B * outer * inner / max(dt - rtt, 1e-9)
 

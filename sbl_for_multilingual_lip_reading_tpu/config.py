@@ -74,6 +74,13 @@ class DataConfig:
     std: float = 0.1700239
     frame_removal_p: float = 0.05   # FrameRemoval (data_gen.py:104-108)
     max_crop_offset: int = 8        # RandomCrop offset range (cvtransforms.py:28-29)
+    # the LRW project's RandomDrop: drop a frame w.p. p (total drops capped
+    # at min(10, 0.2*T)), repeat-fill the tail
+    # (VSR_..._LRW/cvtransforms.py:32-41, applied at data_gen.py:140)
+    random_drop_p: float = 0.0
+    # the LRW project's RandomCrop draws ONE (x1, y1) per clip
+    # (VSR_..._LRW/cvtransforms.py:20-26) vs the SBL project's per-frame draw
+    per_clip_crop: bool = False
     lrw_path: str = "../roi_80_116_175_211_npy_gray"
     lrw1000_path: str = "../LRW1000_npy_rsz122_gray"
     lrw1000_info: str = "../LRW1000_info"
@@ -170,6 +177,10 @@ def lrw_seq2seq() -> WorkloadConfig:
         name="lrw",
         decoder=DecoderConfig(vocab_size=len(LRW_PHONEMES), bidirectional=False,
                               tie_embedding=True, maxlen=14, target_pad_len=12),
+        # LRW-project augmentation protocol: per-clip RandomCrop +
+        # RandomDrop, no FrameRemoval (data_gen.py:137-140)
+        data=dataclasses.replace(DataConfig(), frame_removal_p=0.0,
+                                 random_drop_p=0.01, per_clip_crop=True),
     )
 
 

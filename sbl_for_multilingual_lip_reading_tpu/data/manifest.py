@@ -73,10 +73,31 @@ def read_manifest(path: str, limit: Optional[int] = None) -> List[Lrw1000Entry]:
 
 def wav_is_silent(path: str) -> bool:
     """Offline replacement for the reference's librosa silence probe
-    (data_gen.py:175-177: keep iff len(librosa.load(wav)) > 0).  Reads the
-    RIFF header / file size directly instead of decoding audio."""
+    (data_gen.py:175-177: keep iff len(librosa.load(wav)) > 0).  Walks the
+    RIFF chunk list and checks the ``data`` chunk holds >=1 sample that is
+    actually present in the file (no audio decode): a wav with a valid
+    header but a truncated or empty payload is silent, like the
+    reference's decode-based probe would find."""
     try:
-        return os.path.getsize(path) <= 44  # empty WAV = header only
+        size = os.path.getsize(path)
+        with open(path, "rb") as f:
+            hdr = f.read(12)
+            if len(hdr) < 12 or hdr[:4] != b"RIFF" or hdr[8:12] != b"WAVE":
+                return True
+            pos = 12
+            while pos + 8 <= size:
+                f.seek(pos)
+                chunk = f.read(8)
+                if len(chunk) < 8:
+                    return True
+                cid = chunk[:4]
+                clen = int.from_bytes(chunk[4:8], "little")
+                if cid == b"data":
+                    # payload must exist on disk, not just in the header
+                    avail = max(0, min(clen, size - (pos + 8)))
+                    return avail < 2  # < one 16-bit sample
+                pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+            return True  # no data chunk
     except OSError:
         return True
 

@@ -50,7 +50,7 @@ def device_ingest(clips_u8: jnp.ndarray, offsets: Optional[jnp.ndarray],
         clips_u8, frame_map[:, :, None, None], axis=1)
 
     if offsets is None:
-        c = int(round(H - crop) / 2.0)
+        c = int(round((H - crop) / 2.0))
         cropped = jax.lax.slice(clips, (0, 0, c, c),
                                 (B, T, c + crop, c + crop))
     else:

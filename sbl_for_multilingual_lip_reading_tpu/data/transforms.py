@@ -41,8 +41,8 @@ def center_crop(clip: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
     """(T, H, W) -> (T, th, tw) center crop."""
     th, tw = size
     h, w = clip.shape[1], clip.shape[2]
-    y1 = int(round(h - th) / 2.0)
-    x1 = int(round(w - tw) / 2.0)
+    y1 = int(round((h - th) / 2.0))
+    x1 = int(round((w - tw) / 2.0))
     return clip[:, y1:y1 + th, x1:x1 + tw]
 
 
@@ -92,20 +92,34 @@ def frame_removal(clip: np.ndarray, rng: np.random.Generator,
     return clip
 
 
-def random_drop(clip: np.ndarray, rng: np.random.Generator,
-                p: float = 0.05) -> np.ndarray:
-    """Randomly delete frames and repeat-fill from the tail to keep length
-    (the LRW project's cvtransforms RandomDrop,
-    VSR_seq2seq_Transformer_with_phonemes_LRW/cvtransforms.py)."""
-    T = clip.shape[0]
-    keep = rng.random(T) >= p
-    keep[0] = True  # never drop everything
-    kept = clip[keep]
-    out = np.empty_like(clip)
-    out[:len(kept)] = kept
-    if len(kept) < T:
-        out[len(kept):] = kept[-1]
+def random_drop_map(rng: np.random.Generator, frames: int, p: float = 0.01,
+                    max_drop: Optional[float] = None) -> np.ndarray:
+    """(T,) int32 gather map for the LRW project's RandomDrop
+    (VSR_seq2seq_Transformer_with_phonemes_LRW/cvtransforms.py:32-41):
+    scan frames in order; frame j is dropped w.p. ``p`` unless the total
+    dropped so far already exceeds ``min(10, 0.2*T)``; kept frames pack to
+    the front and the tail repeats the last kept frame.  RandomDrop is a
+    pure gather, so the device ingest executes it through ``frame_map``."""
+    if max_drop is None:
+        max_drop = min(10.0, 0.2 * frames)
+    out = np.arange(frames, dtype=np.int32)
+    i = 0
+    for j in range(frames):
+        # reference keep condition: 0.01 < random.random() or cap < (j - i)
+        if p < rng.random() or max_drop < float(j - i):
+            out[i] = j
+            i += 1
+    if i > 0:
+        out[i:] = out[i - 1]
     return out
+
+
+def random_drop(clip: np.ndarray, rng: np.random.Generator,
+                p: float = 0.01,
+                max_drop: Optional[float] = None) -> np.ndarray:
+    """Host-side RandomDrop: delete frames (capped) and repeat-fill from the
+    last kept frame to keep length (cvtransforms.py:32-41)."""
+    return clip[random_drop_map(rng, clip.shape[0], p, max_drop)]
 
 
 def frame_zero(clip: np.ndarray, rng: np.random.Generator,
@@ -138,7 +152,8 @@ class AugPlan:
 def make_train_plan(rng: np.random.Generator, frames: int, raw: int,
                     crop: int, frame_removal_p: float = 0.05,
                     per_frame_offsets: bool = True,
-                    max_offset: Optional[int] = None) -> AugPlan:
+                    max_offset: Optional[int] = None,
+                    random_drop_p: float = 0.0) -> AugPlan:
     hi = (raw - crop) if max_offset is None else max_offset
     if per_frame_offsets:
         offs = rng.integers(0, hi + 1, size=(frames, 2)).astype(np.int32)
@@ -155,11 +170,19 @@ def make_train_plan(rng: np.random.Generator, frames: int, raw: int,
     # reference applies FrameRemoval AFTER cropping (data_gen.py:282-287), so
     # a duplicated frame carries its source frame's crop offset too
     offs = offs[fmap]
+    if random_drop_p > 0.0:
+        # the LRW project's RandomDrop runs after crop+flip
+        # (VSR_..._LRW/data_gen.py:137-140), so compose the drop gather on
+        # the already-cropped frame order: both the source-frame map and
+        # the per-output crop offsets gather through it
+        dmap = random_drop_map(rng, frames, random_drop_p)
+        fmap = fmap[dmap]
+        offs = offs[dmap]
     return AugPlan(offsets=offs, flip=flip, frame_map=fmap)
 
 
 def make_eval_plan(frames: int, raw: int, crop: int) -> AugPlan:
-    c = int(round(raw - crop) / 2.0)
+    c = int(round((raw - crop) / 2.0))
     offs = np.full((frames, 2), c, dtype=np.int32)
     return AugPlan(offsets=offs, flip=False,
                    frame_map=np.arange(frames, dtype=np.int32))

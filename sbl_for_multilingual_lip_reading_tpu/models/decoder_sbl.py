@@ -142,6 +142,12 @@ class _SBLLayer(nn.Module):
         L = h.shape[1]
         bias = None
         if slf_mask is not None:
+            # collapsing to (L, L) assumes a batch-invariant mask; the SBL
+            # step only ever builds batch-dim-1 causal/prefix masks, but a
+            # per-sample padding mask would silently mis-mask here
+            assert slf_mask.shape[0] == 1, (
+                "fused layer needs a batch-invariant self-attn mask; got "
+                f"batch dim {slf_mask.shape[0]} — use the module path")
             bias = jnp.where(jnp.broadcast_to(slf_mask[0], (L, L)),
                              -1e9, 0.0).astype(jnp.float32)
         # CrossKV outputs are flat (B, Tk, H*d); the megakernel wants the

@@ -72,7 +72,7 @@ def stack_frames_u8(clips_u8: jnp.ndarray, crop: int, dtype=jnp.bfloat16,
     if interpret is None:
         interpret = not available()
     pad = kt // 2
-    c = int(round(H - crop) / 2.0)
+    c = int(round((H - crop) / 2.0))
     inv_std = 1.0 / (255.0 * STD)
     shift = MEAN / STD
 

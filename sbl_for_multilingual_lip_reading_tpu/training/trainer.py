@@ -51,11 +51,13 @@ def attach_plans(batch: Dict, rng: np.random.Generator, cfg,
     raw, crop = batch["clip_u8"].shape[2], cfg.data.crop_size
     if train:
         lang = np.asarray(batch.get("lang_id", np.zeros(B, np.int32)))
+        per_clip = cfg.data.per_clip_crop       # LRW-project protocol
         plans = [
             make_train_plan(rng, T, raw, crop, cfg.data.frame_removal_p,
-                            per_frame_offsets=(lang[i] == 0),
-                            max_offset=(None if lang[i] == 0
-                                        else (raw - crop) // 2))
+                            per_frame_offsets=(lang[i] == 0 and not per_clip),
+                            max_offset=(None if (lang[i] == 0 or per_clip)
+                                        else (raw - crop) // 2),
+                            random_drop_p=cfg.data.random_drop_p)
             for i in range(B)
         ]
         batch = dict(batch)

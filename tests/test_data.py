@@ -121,17 +121,47 @@ def test_manifest_parsing_and_filters(tmp_path):
     assert e2.start_frame == 26 and e2.end_frame == 38
 
 
+def _write_wav(path, n_samples, truncate_to=None):
+    import wave
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(np.ones(n_samples, np.int16).tobytes())
+    if truncate_to is not None:
+        data = path.read_bytes()[:truncate_to]
+        path.write_bytes(data)
+
+
 def test_clean_manifest_silence_filter(tmp_path):
     wavdir = tmp_path / "wavs"
     wavdir.mkdir()
-    (wavdir / "wav1.wav").write_bytes(b"\x00" * 2000)
-    (wavdir / "wav4.wav").write_bytes(b"\x00" * 10)   # "silent": header-only
+    _write_wav(wavdir / "wav1.wav", 1000)
+    _write_wav(wavdir / "wav4.wav", 0)               # header-only: silent
     raw = tmp_path / "raw.txt"
     raw.write_text("dir1,wav1,x,ni hao,0.0,0.4\ndir4,wav4,x,ma,0.0,0.4\n")
     out = tmp_path / "clean.txt"
     kept = MF.build_clean_manifest(str(raw), str(out), str(wavdir))
     assert kept == 1
     assert "wav1" in out.read_text()
+
+
+def test_wav_is_silent_riff_probe(tmp_path):
+    """The probe must reject wavs whose *payload* is missing, not just
+    header-only files (reference decodes and checks sample count,
+    SBL data_gen.py:175-177)."""
+    good = tmp_path / "good.wav"
+    _write_wav(good, 500)
+    assert not MF.wav_is_silent(str(good))
+    # valid 44-byte header claiming 500 samples, payload truncated away
+    trunc = tmp_path / "trunc.wav"
+    _write_wav(trunc, 500, truncate_to=44)
+    assert MF.wav_is_silent(str(trunc))
+    # garbage bytes of plausible size: not RIFF at all
+    junk = tmp_path / "junk.wav"
+    junk.write_bytes(b"\x00" * 2000)
+    assert MF.wav_is_silent(str(junk))
+    assert MF.wav_is_silent(str(tmp_path / "missing.wav"))
 
 
 def test_lrw_dataset_from_npy_tree(tmp_path):
@@ -248,7 +278,7 @@ def test_device_ingest_static_eval_path_matches_explicit():
     rng = np.random.default_rng(1)
     B, Tn, raw, crop = 2, 5, 32, 24
     clips = rng.integers(0, 256, size=(B, Tn, raw, raw), dtype=np.uint8)
-    c = int(round(raw - crop) / 2.0)
+    c = int(round((raw - crop) / 2.0))
     offsets = np.full((B, Tn, 2), c, np.int32)
     flip = np.zeros((B,), bool)
     fmap = np.broadcast_to(np.arange(Tn, dtype=np.int32), (B, Tn)).copy()
@@ -317,6 +347,78 @@ def test_attach_plans_per_dataset_crop():
     # per-frame draws virtually surely differ across frames for some clip
     lrw_offs = offs[np.asarray(batch["lang_id"]) == 0]
     assert any((o != o[0]).any() for o in lrw_offs)
+
+
+def test_random_drop_map_matches_reference_loop():
+    """random_drop_map must reproduce the LRW project's RandomDrop scan
+    (VSR_..._LRW/cvtransforms.py:32-41) for the same random draws."""
+    for seed in range(20):
+        Tn = 29
+        draws = np.random.default_rng(seed).random(Tn)
+
+        # direct simulation of the reference loop on frame indices
+        buf = list(range(Tn))
+        i = 0
+        for j in range(Tn):
+            if 0.01 < draws[j] or min(10, 0.2 * Tn) < 1.0 * (j - i):
+                buf[i] = buf[j]
+                i += 1
+        for j in range(i, Tn):
+            buf[j] = buf[j - 1]
+
+        class FixedDraws:
+            def __init__(self, d):
+                self._d = list(d)
+
+            def random(self):
+                return self._d.pop(0)
+
+        got = T.random_drop_map(FixedDraws(draws), Tn, p=0.01)
+        np.testing.assert_array_equal(got, np.asarray(buf, np.int32))
+
+
+def test_make_train_plan_random_drop_composition():
+    """With random_drop_p, the plan's gather must equal host-applied
+    crop -> RandomDrop on the same draws (the LRW data_gen.py:137-140
+    ordering: RandomDrop acts on already-cropped frames)."""
+    rng = np.random.default_rng(3)
+    Tn, raw, crop = 12, 16, 9
+    clip = np.random.default_rng(0).integers(
+        0, 256, size=(Tn, raw, raw)).astype(np.uint8)
+    plan = T.make_train_plan(rng, Tn, raw, crop, frame_removal_p=0.0,
+                             per_frame_offsets=False, random_drop_p=0.5)
+    got = T.apply_plan_host(clip, plan, crop)
+    # reconstruct: same per-clip offset, host random_drop on cropped frames
+    y, x = plan.offsets[0]
+    cropped = clip[:, y:y + crop, x:x + crop].astype(np.float32) / 255.0
+    cropped = T.color_normalize(cropped)
+    if plan.flip:
+        cropped = cropped[:, :, ::-1]
+    expect = cropped[plan.frame_map]
+    np.testing.assert_allclose(got, expect, atol=1e-5)
+    assert len(np.unique(plan.frame_map)) < Tn  # p=0.5: some frame dropped
+
+
+def test_lrw_preset_wires_random_drop():
+    """--workload lrw trains with the LRW project's protocol: per-clip crop,
+    RandomDrop active, FrameRemoval off."""
+    from sbl_for_multilingual_lip_reading_tpu import config as C
+    from sbl_for_multilingual_lip_reading_tpu.training.trainer import (
+        attach_plans)
+    cfg = C.lrw_seq2seq()
+    assert cfg.data.random_drop_p > 0 and cfg.data.frame_removal_p == 0
+    assert cfg.data.per_clip_crop
+    B, Tn, raw = 4, 29, 96
+    batch = {"clip_u8": np.zeros((B, Tn, raw, raw), np.uint8),
+             "lang_id": np.zeros(B, np.int32)}
+    out = attach_plans(batch, np.random.default_rng(0), cfg, train=True)
+    offs = out["offsets"]
+    for i in range(B):
+        assert (offs[i] == offs[i, 0]).all()        # per-clip offset
+        assert offs[i].max() <= raw - cfg.data.crop_size
+    # frame maps must be monotone non-decreasing pack-and-fill gathers
+    fmap = out["frame_map"]
+    assert (np.diff(fmap, axis=1) >= 0).all()
 
 
 def test_real_datasets_respect_workload_vocab(tmp_path):
