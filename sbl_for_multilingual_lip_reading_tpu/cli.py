@@ -223,7 +223,8 @@ def run_train(argv=None) -> None:
         tr.state, _ = ckpt.restore_for_transfer(args.transfer_from, tr.state)
     elif args.checkpoint and os.path.isdir(args.checkpoint):
         tr.state, epoch, best = ckpt.restore_checkpoint(args.checkpoint,
-                                                        tr.state)
+                                                        tr.state,
+                                                        mesh=tr.mesh)
         tr.best_metric = best
     tr.fit(args.epochs, max_steps_per_epoch=args.max_steps_per_epoch,
            max_eval_batches=args.max_eval_batches)
@@ -240,7 +241,8 @@ def run_test(argv=None) -> None:
     train_ds, valid_ds = make_datasets(cfg, args, eval_split="test")
     tr = Trainer(cfg, SyntheticPlaceholder(), valid_ds)
     if args.checkpoint:
-        tr.state, _, _ = ckpt.restore_checkpoint(args.checkpoint, tr.state)
+        tr.state, _, _ = ckpt.restore_checkpoint(args.checkpoint, tr.state,
+                                                 mesh=tr.mesh)
     bigram_logp = None
     if args.bigram_lm and cfg.decoder and not cfg.decoder.bidirectional:
         import jax.numpy as jnp

@@ -84,6 +84,36 @@ def shard_params(tree, mesh: Mesh):
     return traverse_util.unflatten_dict(out)
 
 
+def shard_opt_state(opt_state, mesh: Mesh, params):
+    """Place optimizer-state leaves on the mesh.
+
+    Param-shaped moment trees (adam's mu/nu mirror the param tree exactly)
+    inherit their parameter's sharding -- matched by the trailing dict-key
+    path -- and everything else (step counters, scalars) replicates.
+    Needed after a checkpoint restore: orbax commits restored arrays to a
+    single device, and a jitted step refuses mixed device sets."""
+    from jax.tree_util import (DictKey, tree_flatten_with_path,
+                               tree_unflatten)
+    param_shard = {}
+    for path, leaf in tree_flatten_with_path(params)[0]:
+        key = tuple(k.key for k in path if isinstance(k, DictKey))
+        sh = getattr(leaf, "sharding", None)
+        if key and sh is not None:
+            param_shard[key] = sh
+    leaves, treedef = tree_flatten_with_path(opt_state)
+    rep = replicated_sharding(mesh)
+    out = []
+    for path, leaf in leaves:
+        dict_keys = tuple(k.key for k in path if isinstance(k, DictKey))
+        sh = None
+        for start in range(len(dict_keys)):
+            sh = param_shard.get(dict_keys[start:])
+            if sh is not None:
+                break
+        out.append(jax.device_put(leaf, sh if sh is not None else rep))
+    return tree_unflatten(treedef, out)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 

@@ -39,9 +39,15 @@ def save_checkpoint(path: str, state, epoch: int = 0,
         ckptr.wait_until_finished()
 
 
-def restore_checkpoint(path: str, state) -> Tuple[Any, int, float]:
+def restore_checkpoint(path: str, state, mesh=None) -> Tuple[Any, int, float]:
     """Full restore into an abstract-state template.  Returns
-    (new_state, epoch, best_metric)."""
+    (new_state, epoch, best_metric).
+
+    mesh: when resuming onto a dp x tp mesh, re-places the restored tree on
+    it (params/batch_stats per PARAM_RULES, optimizer moments inheriting
+    their parameter's sharding, counters replicated) -- orbax commits
+    restored arrays to one device, and a jitted step refuses inputs on
+    mixed device sets."""
     template = {
         "params": state.params,
         "batch_stats": state.batch_stats,
@@ -52,10 +58,19 @@ def restore_checkpoint(path: str, state) -> Tuple[Any, int, float]:
     }
     ckptr = ocp.StandardCheckpointer()
     restored = ckptr.restore(os.path.abspath(path), template)
-    new_state = state.replace(params=restored["params"],
-                              batch_stats=restored["batch_stats"],
-                              opt_state=restored["opt_state"],
-                              step=restored["step"])
+    params = restored["params"]
+    batch_stats = restored["batch_stats"]
+    opt_state = restored["opt_state"]
+    step = restored["step"]
+    if mesh is not None:
+        from ..parallel import (replicated_sharding, shard_opt_state,
+                                shard_params)
+        params = shard_params(params, mesh)
+        batch_stats = shard_params(batch_stats, mesh)
+        opt_state = shard_opt_state(opt_state, mesh, params)
+        step = jax.device_put(step, replicated_sharding(mesh))
+    new_state = state.replace(params=params, batch_stats=batch_stats,
+                              opt_state=opt_state, step=step)
     meta = restored["meta"]
     return new_state, int(meta["epoch"]), float(meta["best_metric"])
 
@@ -91,17 +106,28 @@ def restore_for_transfer(path: str, state, load_prefixes: Optional[list] = None)
     re-initialized by the caller -- matching the reference, which rebuilds
     the optimizer after a transfer load, train.py:106-109).
 
-    load_prefixes: optional list of top-level path prefixes to restrict the
-    merge (e.g. ["frontend", "encoder"] for the encoder-freeze recipe).
+    load_prefixes: optional list of path prefixes to restrict the merge.
+    Each prefix is a '/'-joined path whose segments must match the leading
+    segments of a leaf path: "encoder" keeps the whole encoder subtree,
+    "decoder/layer_0" just that layer.
     """
     ckptr = ocp.StandardCheckpointer()
     restored = ckptr.restore(os.path.abspath(path))
     pre_params = restored.get("params", {})
     pre_bs = restored.get("batch_stats", {})
     if load_prefixes is not None:
-        pre_params = {k: v for k, v in pre_params.items()
-                      if k in load_prefixes}
-        pre_bs = {k: v for k, v in pre_bs.items() if k in load_prefixes}
+        prefixes = [tuple(str(p).strip("/").split("/"))
+                    for p in load_prefixes]
+
+        def keep(tree):
+            flat = traverse_util.flatten_dict(tree)
+            kept = {k: v for k, v in flat.items()
+                    if any(tuple(map(str, k[:len(p)])) == p
+                           for p in prefixes)}
+            return traverse_util.unflatten_dict(kept)
+
+        pre_params = keep(pre_params)
+        pre_bs = keep(pre_bs)
     merged_params, loaded, _ = partial_merge(state.params, pre_params)
     merged_bs, _, _ = partial_merge(state.batch_stats, pre_bs, verbose=False)
     return state.replace(params=merged_params, batch_stats=merged_bs), loaded

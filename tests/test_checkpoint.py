@@ -42,6 +42,67 @@ def test_partial_merge_by_shape():
     assert set(missed) == {"enc/b", "dec/w"}
 
 
+def test_sharded_checkpoint_roundtrip_on_mesh(tmp_path):
+    """Save from a dp x tp mesh state, restore onto a FRESH mesh, continue
+    training one step: the multi-chip resume path (reference semantics:
+    utils.py:22-33 + train.py:91-109, but across a sharded topology)."""
+    import dataclasses
+    import pytest
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = dataclasses.replace(C.tiny_test("sbl"), batch_size=8,
+                              mesh=C.MeshConfig(data=4, model=2))
+    ds = SyntheticLipDataset(size=8, frames=cfg.data.frames,
+                             raw_size=cfg.data.raw_size)
+    tr = Trainer(cfg, ds)
+    with tr.mesh:
+        tr.train_epoch(0, max_steps=1)
+    path = str(tmp_path / "mesh_ckpt")
+    ckpt.save_checkpoint(path, tr.state, epoch=1, best_metric=2.0)
+
+    tr2 = Trainer(cfg, ds)
+    state2, epoch, best = ckpt.restore_checkpoint(path, tr2.state,
+                                                  mesh=tr2.mesh)
+    assert epoch == 1 and abs(best - 2.0) < 1e-6
+    assert int(state2.step) == int(tr.state.step) == 1
+    # restored params keep the mesh sharding of the template
+    qs = state2.params["decoder"]["step"]["layer_0"]["slf"]["w_qs"]["kernel"]
+    assert not qs.sharding.is_fully_replicated
+    for a, b in zip(jax.tree_util.tree_leaves(tr.state.params),
+                    jax.tree_util.tree_leaves(state2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # continue training from the restored state on the fresh mesh
+    tr2.state = state2
+    with tr2.mesh:
+        loss = tr2.train_epoch(0, max_steps=1)
+    assert np.isfinite(loss)
+    assert int(tr2.state.step) == 2
+
+
+def test_restore_for_transfer_nested_prefixes(tmp_path):
+    """load_prefixes accepts nested '/'-joined paths, not just top-level
+    keys (a bare \"decoder/step\" used to silently match nothing)."""
+    cfg = C.tiny_test("sbl")
+    ds = SyntheticLipDataset(size=4, frames=cfg.data.frames,
+                             raw_size=cfg.data.raw_size)
+    tr = Trainer(cfg, ds)
+    tr.train_epoch(0, max_steps=1)
+    path = str(tmp_path / "ckpt")
+    ckpt.save_checkpoint(path, tr.state)
+
+    tr2 = Trainer(cfg, ds)
+    _, loaded = ckpt.restore_for_transfer(
+        path, tr2.state, load_prefixes=["decoder/step/layer_0", "encoder"])
+    assert loaded  # something matched
+    assert all(p.startswith("decoder/step/layer_0")
+               or p.startswith("encoder") for p in loaded)
+    assert any(p.startswith("decoder/step/layer_0") for p in loaded)
+    # top-level prefixes still work
+    _, loaded2 = ckpt.restore_for_transfer(path, tr2.state,
+                                           load_prefixes=["frontend"])
+    assert loaded2 and all(p.startswith("frontend") for p in loaded2)
+
+
 def test_transfer_classify_encoder_into_sbl(tmp_path):
     """The three-stage recipe: classify-stage frontend+encoder seeds the SBL
     model across architecture drift (reference train.py:91-103)."""
