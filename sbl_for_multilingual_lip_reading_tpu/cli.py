@@ -81,8 +81,9 @@ def build_argparser() -> argparse.ArgumentParser:
     # decoding (reference args.beam_size / nbest / decode_max_len -- vestigial
     # there, functional here)
     p.add_argument("--beam-size", type=int, default=None,
-                   help="beam search width for unidirectional eval "
-                        "(default: greedy)")
+                   help="beam search width for eval (default: greedy); "
+                        "SBL uses the paired bidirectional beam, "
+                        "unidirectional workloads the standard one")
     p.add_argument("--freeze", type=str, default=None,
                    help="comma-separated param subtrees to freeze, e.g. "
                         "'frontend,encoder' (reference requires_grad stages)")

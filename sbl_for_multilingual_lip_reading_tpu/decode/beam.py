@@ -85,6 +85,107 @@ def beam_search(step_fn: Callable[[Array, Array], Array],
     return tokens, scores
 
 
+def sbl_beam_search(step_fn: Callable[[Array, Array, Array],
+                                      Tuple[Array, Array]],
+                    batch_size: int, beam_size: int, maxlen: int,
+                    vocab_size: int, eos_id: int = EOS_ID,
+                    sos_id: int = SOS_ID
+                    ) -> Tuple[Array, Array, Array]:
+    """Batched bidirectional beam search over PAIRED (l2r, r2l) hypotheses.
+
+    The SBL decoder fuses the two directions' hidden states after every
+    layer, so a hypothesis is a *pair* of prefixes -- neither direction's
+    future logits are well-defined without the other.  The frontier is K
+    pairs; each step expands every pair jointly over V x V continuations
+    scored by the sum of the directions' log-probabilities
+    (``score' = score + logp_l2r(a) + logp_r2l(b)``), followed by one
+    (B, K*V*V) top-k.  With beam 1 this reduces exactly to the reference's
+    synchronous greedy argmax-per-direction (decoder.py:301-385); the
+    frontier/retirement semantics follow the reference's true beam
+    (VSR_..._LRW1000/transformer/decoder.py:131-245): a direction that
+    emitted eos is frozen and extends only with eos at zero cost, and the
+    pair keeps competing in the frontier.
+
+    step_fn(ys_l2r, ys_r2l, step) -> ((N, V), (N, V)) logits at position
+        ``step``; N = B*K (closure carries pre-tiled encoder K/V).
+
+    Returns (tokens_l2r (B, K, L), tokens_r2l (B, K, L), scores (B, K)),
+    sorted by joint score descending along K, each with leading sos.
+    """
+    B, K, V, L = batch_size, beam_size, vocab_size, maxlen + 1
+
+    tok_l0 = jnp.full((B, K, L), sos_id, jnp.int32)
+    tok_r0 = jnp.full((B, K, L), sos_id, jnp.int32)
+    # only pair 0 live initially so the first expansion yields K distinct
+    # continuations
+    scores0 = jnp.where(jnp.arange(K) == 0, 0.0,
+                        NEG_INF)[None, :].repeat(B, 0)
+    fin0 = jnp.zeros((B, K), bool)
+
+    eos_only = jnp.full((V,), NEG_INF).at[eos_id].set(0.0)
+
+    def body(carry, step):
+        tok_l, tok_r, scores, fin_l, fin_r = carry
+        lg_l, lg_r = step_fn(tok_l.reshape(B * K, L),
+                             tok_r.reshape(B * K, L), step)
+        lp_l = jax.nn.log_softmax(lg_l.astype(jnp.float32), -1).reshape(B, K, V)
+        lp_r = jax.nn.log_softmax(lg_r.astype(jnp.float32), -1).reshape(B, K, V)
+        lp_l = jnp.where(fin_l[..., None], eos_only[None, None], lp_l)
+        lp_r = jnp.where(fin_r[..., None], eos_only[None, None], lp_r)
+        cand = (scores[..., None, None] + lp_l[..., :, None]
+                + lp_r[..., None, :])                    # (B, K, V, V)
+        new_scores, idx = jax.lax.top_k(cand.reshape(B, K * V * V), K)
+        parent = idx // (V * V)
+        rem = idx % (V * V)
+        a = (rem // V).astype(jnp.int32)                 # l2r token
+        b = (rem % V).astype(jnp.int32)                  # r2l token
+        tok_l = jnp.take_along_axis(tok_l, parent[..., None], axis=1)
+        tok_r = jnp.take_along_axis(tok_r, parent[..., None], axis=1)
+        tok_l = jax.lax.dynamic_update_slice_in_dim(
+            tok_l, a[..., None], step + 1, axis=2)
+        tok_r = jax.lax.dynamic_update_slice_in_dim(
+            tok_r, b[..., None], step + 1, axis=2)
+        fin_l = jnp.take_along_axis(fin_l, parent, axis=1) | (a == eos_id)
+        fin_r = jnp.take_along_axis(fin_r, parent, axis=1) | (b == eos_id)
+        return (tok_l, tok_r, new_scores, fin_l, fin_r), None
+
+    (tok_l, tok_r, scores, _, _), _ = jax.lax.scan(
+        body, (tok_l0, tok_r0, scores0, fin0, fin0),
+        jnp.arange(maxlen, dtype=jnp.int32))
+    order = jnp.argsort(-scores, axis=1)
+    tok_l = jnp.take_along_axis(tok_l, order[..., None], axis=1)
+    tok_r = jnp.take_along_axis(tok_r, order[..., None], axis=1)
+    scores = jnp.take_along_axis(scores, order, axis=1)
+    return tok_l, tok_r, scores
+
+
+def make_sbl_beam_decoder(model, beam_size: int = 5) -> Callable:
+    """Jitted batched bidirectional beam decode for an SBLTransformer:
+    video -> (tokens_l2r (B, K, L), tokens_r2l (B, K, L), scores (B, K)).
+    Cross-attention K/V are projected once for the whole search."""
+
+    @jax.jit
+    def decode(variables, video):
+        enc = model.apply(variables, video, method=model.encode)
+        K = beam_size
+        B = enc.shape[0]
+        enc_tiled = jnp.repeat(enc, K, axis=0)           # (B*K, T, D)
+        dec = model.decoder
+        enc_kv = model.apply(
+            variables, enc_tiled,
+            method=lambda m, e: m.decoder.compute_cross_kv(e))
+
+        def step_fn(ys_l, ys_r, step):
+            return model.apply(
+                variables, ys_l, ys_r, enc_kv, step,
+                method=lambda m, a, b, kv, s:
+                    m.decoder.step_logits_cached(a, b, kv, s))
+
+        return sbl_beam_search(step_fn, B, K, dec.maxlen, dec.vocab_size)
+
+    return decode
+
+
 def make_uni_beam_decoder(model, beam_size: int = 5,
                           bigram_logp=None) -> Callable:
     """Jitted batched beam decode for a UniTransformer: video -> (tokens

@@ -402,3 +402,28 @@ class SBLDecoder(nn.Module):
         ys_l2r, ys_r2l, _, _ = self._run(enc_output, dummy_gold, dummy_gold,
                                          use_gold, True)
         return ys_l2r, ys_r2l
+
+    def compute_cross_kv(self, enc_output: Array):
+        """Public per-layer cross-attention K/V precompute for search
+        drivers (decode/beam.py): tuple of n_layers direction-stacked
+        (kh, vh) pairs."""
+        enc = enc_output.astype(self.dtype)
+        return tuple(kv(enc) for kv in self.cross_kv)
+
+    def step_logits_cached(self, ys_l2r: Array, ys_r2l: Array, enc_kv,
+                           step: Array) -> Tuple[Array, Array]:
+        """Both directions' logits at position ``step`` given paired token
+        buffers (N, L) and precomputed cross K/V.
+
+        Building block for the bidirectional beam search: runs the SAME
+        scan module as training/greedy decode for a single step (the scan
+        broadcasts params, so a one-step xs reuses the identical weights
+        and per-step fusion coupling), discarding its argmax buffer write.
+        """
+        N = ys_l2r.shape[0]
+        step = jnp.asarray(step, jnp.int32)
+        dummy = jnp.full((1, N), EOS_ID, jnp.int32)
+        xs = (step[None], jnp.zeros((1,), bool), dummy, dummy)
+        (_, _), (lg_l2r, lg_r2l) = self.step((ys_l2r, ys_r2l), enc_kv, True,
+                                             xs)
+        return lg_l2r[0], lg_r2l[0]

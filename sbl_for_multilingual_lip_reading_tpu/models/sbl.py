@@ -62,6 +62,10 @@ class SBLTransformer(nn.Module):
         enc = self._encode(video, train=False)
         return self.decoder.recognize(enc)
 
+    def encode(self, video: Array) -> Array:
+        """Expose encoder outputs (for beam search drivers)."""
+        return self._encode(video, train=False)
+
 
 class UniTransformer(nn.Module):
     """Unidirectional seq2seq model (LRW / LRW-1000 workloads)."""

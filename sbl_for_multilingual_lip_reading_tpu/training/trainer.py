@@ -311,12 +311,16 @@ class Trainer:
                          beam_size: Optional[int] = None,
                          bigram_logp=None) -> Dict[str, float]:
         """Greedy decode + WER/PER.  For SBL returns both directions.
-        With ``beam_size`` (unidirectional workloads only), uses batched
-        beam search, optionally biased by a (V, V) bigram log table -- the
-        LRW-1000 eval path (reference decoder.py:131-245)."""
+        With ``beam_size``, uses batched beam search: paired bidirectional
+        frontiers for SBL (decode/beam.py::sbl_beam_search), or the
+        unidirectional beam optionally biased by a (V, V) bigram log table
+        -- the LRW-1000 eval path (reference decoder.py:131-245)."""
         bidi = self.cfg.decoder.bidirectional
         beam_fn = None
-        if beam_size is not None and not bidi:
+        if beam_size is not None and bidi:
+            from ..decode.beam import make_sbl_beam_decoder
+            beam_fn = make_sbl_beam_decoder(self.model, beam_size)
+        elif beam_size is not None:
             from ..decode.beam import make_uni_beam_decoder
             beam_fn = make_uni_beam_decoder(self.model, beam_size,
                                             bigram_logp=bigram_logp)
@@ -328,7 +332,16 @@ class Trainer:
         for i, batch in enumerate(prefetch_to_device(iter(batcher))):
             if max_batches is not None and i >= max_batches:
                 break
-            if bidi:
+            if bidi and beam_fn is not None:
+                video = _eval_video(batch, self.cfg)
+                tok_l, tok_r, _ = beam_fn(
+                    {"params": self.state.params,
+                     "batch_stats": self.state.batch_stats}, video)
+                score_batch(np.asarray(tok_l[:, 0]),
+                            np.asarray(batch["labels"]), acc_l2r)
+                score_batch(np.asarray(tok_r[:, 0]),
+                            np.asarray(batch["labels_reverse"]), acc_r2l)
+            elif bidi:
                 ys_l2r, ys_r2l = self.eval_step(self.state, batch)
                 score_batch(np.asarray(ys_l2r), np.asarray(batch["labels"]),
                             acc_l2r)

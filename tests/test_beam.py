@@ -80,6 +80,118 @@ def test_bigram_matrix_counts():
     assert m[3, EOS_ID] == 1.0
 
 
+def test_sbl_beam_argmax_paths_and_scores():
+    """Prefix-independent paired logits: the optimal pair is each
+    direction's argmax chain and the joint score is the sum of both
+    directions' log-softmax maxima."""
+    from sbl_for_multilingual_lip_reading_tpu.decode import sbl_beam_search
+    maxlen = 4
+    rng = np.random.RandomState(1)
+    lg_l = jnp.asarray(rng.randn(maxlen, V).astype(np.float32))
+    lg_r = jnp.asarray(rng.randn(maxlen, V).astype(np.float32))
+
+    def step_fn(ys_l, ys_r, step):
+        N = ys_l.shape[0]
+        return (jnp.broadcast_to(lg_l[step], (N, V)),
+                jnp.broadcast_to(lg_r[step], (N, V)))
+
+    tok_l, tok_r, scores = sbl_beam_search(step_fn, 2, 3, maxlen, V)
+    assert tok_l.shape == tok_r.shape == (2, 3, maxlen + 1)
+    np.testing.assert_array_equal(np.asarray(tok_l[0, 0, 1:]),
+                                  np.argmax(np.asarray(lg_l), -1))
+    np.testing.assert_array_equal(np.asarray(tok_r[0, 0, 1:]),
+                                  np.argmax(np.asarray(lg_r), -1))
+    s = np.asarray(scores[0])
+    assert np.all(np.diff(s) <= 1e-6)  # sorted descending
+    expect = (float(jnp.sum(jnp.max(jax.nn.log_softmax(lg_l, -1), -1)))
+              + float(jnp.sum(jnp.max(jax.nn.log_softmax(lg_r, -1), -1))))
+    assert abs(float(scores[0, 0]) - expect) < 1e-4
+
+
+def test_sbl_beam_per_direction_eos_freeze():
+    """A direction that emitted eos extends only with eos at zero cost
+    while the other direction keeps decoding."""
+    from sbl_for_multilingual_lip_reading_tpu.decode import sbl_beam_search
+    maxlen = 4
+    lg_l = np.full((maxlen, V), -5.0, np.float32)
+    lg_l[0, EOS_ID] = 10.0          # l2r finishes at step 0
+    lg_l[1:, 3] = 5.0               # tempting non-eos continuation
+    lg_r = np.full((maxlen, V), -5.0, np.float32)
+    lg_r[:, 4] = 5.0                # r2l never finishes
+
+    def step_fn(ys_l, ys_r, step):
+        N = ys_l.shape[0]
+        return (jnp.broadcast_to(jnp.asarray(lg_l)[step], (N, V)),
+                jnp.broadcast_to(jnp.asarray(lg_r)[step], (N, V)))
+
+    tok_l, tok_r, scores = sbl_beam_search(step_fn, 1, 2, maxlen, V)
+    best_l = np.asarray(tok_l[0, 0])
+    np.testing.assert_array_equal(best_l[1:], EOS_ID)
+    np.testing.assert_array_equal(np.asarray(tok_r[0, 0, 1:]), 4)
+
+
+def test_sbl_beam_size1_matches_greedy_recognize():
+    """beam=1 must reproduce the synchronous greedy decode token-for-token
+    until each direction's first eos (after which the beam freezes while
+    the reference-greedy keeps emitting argmax tokens)."""
+    from sbl_for_multilingual_lip_reading_tpu.decode import sbl_beam_search
+    from sbl_for_multilingual_lip_reading_tpu.models.decoder_sbl import (
+        SBLDecoder)
+    rng = jax.random.PRNGKey(2)
+    maxlen = 5
+    dec = SBLDecoder(vocab_size=V, d_model=16, n_layers=2, n_head=2, d_k=8,
+                     d_v=8, d_inner=32, dropout=0.0, maxlen=maxlen,
+                     decode_segments=1)
+    enc = jax.random.normal(rng, (2, 4, 16))
+    labels = jnp.array([[2, 3, -1], [4, 2, -1]], jnp.int32)
+    params = dec.init({"params": rng, "dropout": rng, "teacher": rng},
+                      labels, labels, enc, deterministic=True)
+    g_l2r, g_r2l = dec.apply(params, enc, method=dec.recognize)
+    enc_kv = dec.apply(params, jnp.repeat(enc, 1, axis=0),
+                       method=dec.compute_cross_kv)
+
+    def step_fn(ys_l, ys_r, step):
+        return dec.apply(params, ys_l, ys_r, enc_kv, step,
+                         method=dec.step_logits_cached)
+
+    tok_l, tok_r, _ = sbl_beam_search(step_fn, 2, 1, maxlen, V)
+    for greedy, beam in ((np.asarray(g_l2r), np.asarray(tok_l[:, 0])),
+                         (np.asarray(g_r2l), np.asarray(tok_r[:, 0]))):
+        for b in range(2):
+            for t in range(1, maxlen + 1):
+                if beam[b, t] == EOS_ID:
+                    break
+                assert beam[b, t] == greedy[b, t]
+
+
+def test_sbl_beam_decoder_end_to_end():
+    """make_sbl_beam_decoder on a full tiny SBLTransformer + the Trainer
+    eval path with beam_size."""
+    from sbl_for_multilingual_lip_reading_tpu import config as C
+    from sbl_for_multilingual_lip_reading_tpu.data import SyntheticLipDataset
+    from sbl_for_multilingual_lip_reading_tpu.decode import (
+        make_sbl_beam_decoder)
+    from sbl_for_multilingual_lip_reading_tpu.training import Trainer
+    cfg = C.tiny_test("sbl")
+    ds = SyntheticLipDataset(size=4, frames=cfg.data.frames,
+                             raw_size=cfg.data.raw_size)
+    tr = Trainer(cfg, ds)
+    fn = make_sbl_beam_decoder(tr.model, beam_size=3)
+    video = jnp.zeros((2, cfg.data.frames, cfg.data.crop_size,
+                       cfg.data.crop_size), jnp.float32)
+    variables = {"params": tr.state.params,
+                 "batch_stats": tr.state.batch_stats}
+    tok_l, tok_r, scores = fn(variables, video)
+    L = cfg.decoder.maxlen + 1
+    assert tok_l.shape == tok_r.shape == (2, 3, L)
+    assert scores.shape == (2, 3)
+    assert np.all(np.diff(np.asarray(scores), axis=1) <= 1e-6)
+    np.testing.assert_array_equal(np.asarray(tok_l[:, :, 0]), SOS_ID)
+    # Trainer eval plumbing: bidi + beam_size
+    out = tr.validate_seq2seq(ds, max_batches=1, beam_size=2)
+    assert set(out) == {"l2r_wer", "l2r_per", "r2l_wer", "r2l_per"}
+
+
 def test_uni_beam_size1_matches_greedy():
     rng = jax.random.PRNGKey(0)
     dec = UniDecoder(vocab_size=V, d_model=16, n_layers=1, n_head=2, d_k=8,
