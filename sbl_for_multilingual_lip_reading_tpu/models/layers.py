@@ -83,8 +83,7 @@ class MultiHeadAttention(nn.Module):
         use_pallas = self.use_pallas
         if use_pallas:
             from ..ops.attention import (available, fused_small_mha_flat,
-                                         small_mha_grad,
-                                         small_mha_dropout_grad)
+                                         small_mha_dropout_grad_flat)
             if available():
                 bias = None
                 if mask is not None:
@@ -97,20 +96,17 @@ class MultiHeadAttention(nn.Module):
                     ctx = fused_small_mha_flat(q2, k2, v2, h, bias=bias,
                                                scale=scale)
                 else:
-                    qh = q2.reshape(B, Tq, h, d_k)
-                    kh = k2.reshape(B, Tk, h, d_k)
-                    vh = v2.reshape(B, Tk, h, d_v)
+                    # flat-layout custom-VJP kernel: in-kernel attention-prob
+                    # dropout (mask regenerated in the backward from the same
+                    # seed); no (B,T,H,d) relayouts on the training path
                     if self.dropout == 0.0:
-                        ctx = small_mha_grad(qh, kh, vh, bias, scale)
+                        seed = jnp.zeros((1,), jnp.int32)
                     else:
-                        # in-kernel attention-prob dropout (mask regenerated
-                        # in the backward kernel from the same seed)
                         seed = jax.random.randint(
                             self.make_rng("dropout"), (1,), 0, 2_147_483_647,
                             dtype=jnp.int32)
-                        ctx = small_mha_dropout_grad(qh, kh, vh, bias, seed,
-                                                     scale, self.dropout)
-                    ctx = ctx.reshape(B, Tq, h * d_v)
+                    ctx = small_mha_dropout_grad_flat(q2, k2, v2, bias, seed,
+                                                      h, scale, self.dropout)
             else:
                 use_pallas = False
         if not use_pallas:
@@ -196,8 +192,7 @@ class CachedCrossAttention(nn.Module):
         use_pallas = self.use_pallas
         if use_pallas:
             from ..ops.attention import (available, fused_small_mha_flat,
-                                         small_mha_grad,
-                                         small_mha_dropout_grad)
+                                         small_mha_dropout_grad_flat)
             if available():
                 bias = None
                 if mask is not None:
@@ -208,18 +203,17 @@ class CachedCrossAttention(nn.Module):
                     ctx = fused_small_mha_flat(q2, k2, v2, h, bias=bias,
                                                scale=scale)
                 else:
-                    qh = q2.reshape(B, Tq, h, d_k)
-                    kh = k2.reshape(B, Tk, h, d_k)
-                    vh = v2.reshape(B, Tk, h, d_v)
+                    # flat custom-VJP kernel (see MultiHeadAttention): the
+                    # CrossKV outputs are already flat, so the training path
+                    # consumes them with zero relayouts
                     if self.dropout == 0.0:
-                        ctx = small_mha_grad(qh, kh, vh, bias, scale)
+                        seed = jnp.zeros((1,), jnp.int32)
                     else:
                         seed = jax.random.randint(
                             self.make_rng("dropout"), (1,), 0, 2_147_483_647,
                             dtype=jnp.int32)
-                        ctx = small_mha_dropout_grad(qh, kh, vh, bias, seed,
-                                                     scale, self.dropout)
-                    ctx = ctx.reshape(B, Tq, h * d_v)
+                    ctx = small_mha_dropout_grad_flat(q2, k2, v2, bias, seed,
+                                                      h, scale, self.dropout)
             else:
                 use_pallas = False
         if not use_pallas:

@@ -631,3 +631,236 @@ def fused_small_mha_flat(q2: jnp.ndarray, k2: jnp.ndarray, v2: jnp.ndarray,
         out_specs=pl.BlockSpec((Bt, Tq, D), lambda i: (i, 0, 0)),
         interpret=interpret,
     )(*args)
+
+
+# ---------------------------------------------------------------------------
+# FLAT-layout training kernels (custom-VJP pair with optional in-kernel
+# attention-prob dropout).
+#
+# The head-split (B,T,H,d) train kernels force XLA to materialize a
+# 512 -> (8, 64) minor-dim relayout of every projection on the training
+# path -- the exact copies fused_small_mha_flat was built to kill on the
+# inference path.  These variants keep the HBM interface flat (B, T, H*d)
+# on inputs, output AND gradients; the head split/merge happens in VMEM
+# with Mosaic-legal moves (64-wide minor slices + leading concats).  The
+# dropout mask regenerates in the backward from the same per-program seed
+# (remat-safe, O(1) residuals); fwd and bwd MUST share _TRAIN_TILE.
+# ---------------------------------------------------------------------------
+
+
+def _heads_fold(ref, H, d):
+    """(Bt, T, H*d) ref -> (H*Bt, T, d) fp32, head-major leading batch."""
+    x = ref[...].astype(jnp.float32)
+    return jnp.concatenate([x[:, :, h * d:(h + 1) * d] for h in range(H)],
+                           axis=0)
+
+
+def _heads_unfold(x, H, Bt, T, d):
+    """(H*Bt, T, d) -> (Bt, T, H*d) via leading split + minor concat."""
+    x4 = x.reshape(H, Bt, T, d)
+    return jnp.concatenate([x4[h] for h in range(H)], axis=-1)
+
+
+def _attend_train_flat(q_ref, k_ref, v_ref, b_ref, seed_ref, scale, rate,
+                       Bt, H, has_bias):
+    """Shared flat fwd/bwd recompute: returns (qf, kf, vf, p_drop, p, keep)
+    head-major (H*Bt, ...) fp32.  rate=0 keeps everything (keep==True)."""
+    from jax.experimental.pallas import tpu as _pltpu
+    Tq = q_ref.shape[1]
+    Tk = k_ref.shape[1]
+    d = q_ref.shape[2] // H
+    qf = _heads_fold(q_ref, H, d)
+    kf = _heads_fold(k_ref, H, d)
+    vf = _heads_fold(v_ref, H, d)
+    s = jax.lax.dot_general(qf, kf, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32) * scale
+    if has_bias:
+        b = b_ref[...].astype(jnp.float32)               # (1|Bt, Tq, Tk)
+        if b.shape[0] == 1:
+            s = s + jnp.broadcast_to(b, (H * Bt, Tq, Tk))
+        else:
+            s = s + jnp.concatenate([b] * H, axis=0)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    if rate > 0.0:
+        _pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+        keep = _dropout_keep(p.shape, rate)
+        p_drop = jnp.where(keep, p, 0.0) * (1.0 / (1.0 - rate))
+    else:
+        keep = None
+        p_drop = p
+    return qf, kf, vf, p_drop, p, keep
+
+
+def fused_small_mha_dropout_fwd_flat(q2, k2, v2, n_head, bias, seed, scale,
+                                     rate, interpret=None):
+    """Flat (B, T, H*d) forward with in-kernel attention-prob dropout."""
+    B, Tq, D = q2.shape
+    Tk = k2.shape[1]
+    H = n_head
+    d = D // H
+    if interpret is None:
+        interpret = not available()
+    Bt = _pick_tile(B, cap=_TRAIN_TILE)
+    has_bias = bias is not None
+
+    def kernel(*refs):
+        if has_bias:
+            q_ref, k_ref, v_ref, b_ref, seed_ref, o_ref = refs
+        else:
+            q_ref, k_ref, v_ref, seed_ref, o_ref = refs
+            b_ref = None
+        _, _, vf, p_drop, _, _ = _attend_train_flat(
+            q_ref, k_ref, v_ref, b_ref, seed_ref, scale, rate, Bt, H,
+            has_bias)
+        o = jax.lax.dot_general(p_drop, vf, (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        o_ref[...] = _heads_unfold(o, H, Bt, Tq, d).astype(o_ref.dtype)
+
+    in_specs = [
+        pl.BlockSpec((Bt, Tq, D), lambda i: (i, 0, 0)),
+        pl.BlockSpec((Bt, Tk, D), lambda i: (i, 0, 0)),
+        pl.BlockSpec((Bt, Tk, D), lambda i: (i, 0, 0)),
+    ]
+    args = [q2, k2, v2]
+    if has_bias:
+        bias_b = bias.shape[0]
+        in_specs.append(pl.BlockSpec(
+            (Bt if bias_b != 1 else 1, Tq, Tk),
+            (lambda i: (i, 0, 0)) if bias_b != 1 else (lambda i: (0, 0, 0))))
+        args.append(bias)
+    in_specs.append(pl.BlockSpec((8, 128), lambda i: (0, 0)))
+    args.append(_seed_tile(seed))
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, Tq, D), q2.dtype),
+        grid=(B // Bt,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((Bt, Tq, D), lambda i: (i, 0, 0)),
+        interpret=interpret,
+    )(*args)
+
+
+def fused_small_mha_dropout_bwd_flat(q2, k2, v2, n_head, bias, seed, scale,
+                                     rate, do, interpret=None):
+    B, Tq, D = q2.shape
+    Tk = k2.shape[1]
+    H = n_head
+    d = D // H
+    if interpret is None:
+        interpret = not available()
+    Bt = _pick_tile(B, cap=_TRAIN_TILE)
+    has_bias = bias is not None
+    inv = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
+
+    def kernel(*refs):
+        if has_bias:
+            q_ref, k_ref, v_ref, b_ref, seed_ref, do_ref, dq_ref, dk_ref, \
+                dv_ref = refs
+        else:
+            q_ref, k_ref, v_ref, seed_ref, do_ref, dq_ref, dk_ref, \
+                dv_ref = refs
+            b_ref = None
+        qf, kf, vf, p_drop, p, keep = _attend_train_flat(
+            q_ref, k_ref, v_ref, b_ref, seed_ref, scale, rate, Bt, H,
+            has_bias)
+        g = _heads_fold(do_ref, H, d)                    # (H*Bt, Tq, d)
+        dv = jax.lax.dot_general(p_drop, g, (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        dpd = jax.lax.dot_general(g, vf, (((2,), (2,)), ((0,), (0,))),
+                                  preferred_element_type=jnp.float32)
+        dp = dpd if keep is None else jnp.where(keep, dpd, 0.0) * inv
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dq = jax.lax.dot_general(ds, kf, (((2,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(ds, qf, (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32) * scale
+        dq_ref[...] = _heads_unfold(dq, H, Bt, Tq, d).astype(dq_ref.dtype)
+        dk_ref[...] = _heads_unfold(dk, H, Bt, Tk, d).astype(dk_ref.dtype)
+        dv_ref[...] = _heads_unfold(dv, H, Bt, Tk, d).astype(dv_ref.dtype)
+
+    in_specs = [
+        pl.BlockSpec((Bt, Tq, D), lambda i: (i, 0, 0)),
+        pl.BlockSpec((Bt, Tk, D), lambda i: (i, 0, 0)),
+        pl.BlockSpec((Bt, Tk, D), lambda i: (i, 0, 0)),
+    ]
+    args = [q2, k2, v2]
+    if has_bias:
+        bias_b = bias.shape[0]
+        in_specs.append(pl.BlockSpec(
+            (Bt if bias_b != 1 else 1, Tq, Tk),
+            (lambda i: (i, 0, 0)) if bias_b != 1 else (lambda i: (0, 0, 0))))
+        args.append(bias)
+    in_specs.append(pl.BlockSpec((8, 128), lambda i: (0, 0)))
+    args.append(_seed_tile(seed))
+    in_specs.append(pl.BlockSpec((Bt, Tq, D), lambda i: (i, 0, 0)))
+    args.append(do)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((B, Tq, D), q2.dtype),
+                   jax.ShapeDtypeStruct((B, Tk, D), k2.dtype),
+                   jax.ShapeDtypeStruct((B, Tk, D), v2.dtype)),
+        grid=(B // Bt,),
+        in_specs=in_specs,
+        out_specs=(pl.BlockSpec((Bt, Tq, D), lambda i: (i, 0, 0)),
+                   pl.BlockSpec((Bt, Tk, D), lambda i: (i, 0, 0)),
+                   pl.BlockSpec((Bt, Tk, D), lambda i: (i, 0, 0))),
+        interpret=interpret,
+    )(*args)
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def small_mha_dropout_grad_flat(q2, k2, v2, bias, seed, n_head, scale, rate):
+    """Differentiable FLAT-layout fused attention with optional in-kernel
+    attention-prob dropout (rate=0 disables the mask draw entirely).
+
+    q2/k2/v2: (B, T, H*d) flat projections; gradients come back flat too,
+    so the training path needs no (B,T,H,d) relayouts at all.  seed: (1,)
+    int32 (ignored at rate=0); n_head/scale/rate static."""
+    return fused_small_mha_dropout_fwd_flat(q2, k2, v2, n_head, bias, seed,
+                                            scale, rate)
+
+
+def _small_mha_drop_flat_fwd(q2, k2, v2, bias, seed, n_head, scale, rate):
+    out = fused_small_mha_dropout_fwd_flat(q2, k2, v2, n_head, bias, seed,
+                                           scale, rate)
+    return out, (q2, k2, v2, bias, seed)
+
+
+def _small_mha_drop_flat_vjp(n_head, scale, rate, res, do):
+    q2, k2, v2, bias, seed = res
+    dq, dk, dv = fused_small_mha_dropout_bwd_flat(q2, k2, v2, n_head, bias,
+                                                  seed, scale, rate, do)
+    dbias = None if bias is None else jnp.zeros_like(bias)
+    return dq, dk, dv, dbias, jnp.zeros_like(seed)
+
+
+small_mha_dropout_grad_flat.defvjp(_small_mha_drop_flat_fwd,
+                                   _small_mha_drop_flat_vjp)
+
+
+def dropout_keep_mask_flat(B: int, Tq: int, Tk: int, H: int, seed,
+                           rate: float, interpret=None) -> jnp.ndarray:
+    """Validation helper: the exact keep mask the FLAT training kernels
+    generate (same per-program seeding; head-MAJOR draw order, unlike
+    ``dropout_keep_mask``'s batch-major).  Returns (B, H, Tq, Tk) bool."""
+    if interpret is None:
+        interpret = not available()
+    Bt = _pick_tile(B, cap=_TRAIN_TILE)
+
+    def kernel(seed_ref, o_ref):
+        from jax.experimental.pallas import tpu as _pltpu
+        _pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+        keep = _dropout_keep((H * Bt, Tq, Tk), rate)
+        o_ref[...] = jnp.transpose(keep.reshape(H, Bt, Tq, Tk),
+                                   (1, 0, 2, 3))
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, H, Tq, Tk), jnp.bool_),
+        grid=(B // Bt,),
+        in_specs=[pl.BlockSpec((8, 128), lambda i: (0, 0))],
+        out_specs=pl.BlockSpec((Bt, H, Tq, Tk), lambda i: (i, 0, 0, 0)),
+        interpret=interpret,
+    )(_seed_tile(seed))

@@ -175,3 +175,112 @@ def test_fused_small_mha_flat_bias_variants():
                                  interpret=True).reshape(B, T, H * d)
         np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
                                    atol=1e-5)
+
+
+def test_small_mha_dropout_grad_flat_rate0_matches_xla_gradients():
+    """Flat custom-VJP train kernel at rate=0: forward and all three input
+    gradients must match the einsum reference (both bias variants)."""
+    from sbl_for_multilingual_lip_reading_tpu.ops.attention import (
+        small_mha_dropout_grad_flat)
+    rng = jax.random.PRNGKey(11)
+    B, Tq, Tk, H, d = 4, 9, 9, 4, 16
+    q2 = jax.random.normal(rng, (B, Tq, H * d))
+    k2 = jax.random.normal(jax.random.fold_in(rng, 1), (B, Tk, H * d))
+    v2 = jax.random.normal(jax.random.fold_in(rng, 2), (B, Tk, H * d))
+    scale = 1.0 / np.sqrt(d)
+    seed = jnp.zeros((1,), jnp.int32)
+    causal = jnp.where(M.causal_mask(Tq), -1e9, 0.0)[None].astype(jnp.float32)
+    perb = jnp.tile(causal, (B, 1, 1))
+
+    for bias in (None, causal, perb):
+        def xla_att(q, k, v):
+            qh = q.reshape(B, Tq, H, d)
+            kh = k.reshape(B, Tk, H, d)
+            vh = v.reshape(B, Tk, H, d)
+            s = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) * scale
+            if bias is not None:
+                s = s + bias[:, None]
+            out = jnp.einsum("bhqk,bkhd->bqhd", jax.nn.softmax(s, -1), vh)
+            return out.reshape(B, Tq, H * d)
+
+        out = small_mha_dropout_grad_flat(q2, k2, v2, bias, seed, H, scale,
+                                          0.0)
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.asarray(xla_att(q2, k2, v2)),
+                                   atol=1e-5)
+        gp = jax.grad(lambda q, k, v: jnp.sum(
+            small_mha_dropout_grad_flat(q, k, v, bias, seed, H, scale,
+                                        0.0) ** 2),
+            argnums=(0, 1, 2))(q2, k2, v2)
+        gx = jax.grad(lambda q, k, v: jnp.sum(xla_att(q, k, v) ** 2),
+                      argnums=(0, 1, 2))(q2, k2, v2)
+        for a, b in zip(gp, gx):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4)
+
+
+def test_small_mha_dropout_grad_flat_vmaps():
+    """The SBL decoder direction-vmaps the attention kernels; the flat
+    train pair must batch correctly under vmap (values and grads)."""
+    from sbl_for_multilingual_lip_reading_tpu.ops.attention import (
+        small_mha_dropout_grad_flat)
+    rng = jax.random.PRNGKey(12)
+    D2, B, T, H, d = 2, 2, 5, 2, 8
+    q2 = jax.random.normal(rng, (D2, B, T, H * d))
+    k2 = jax.random.normal(jax.random.fold_in(rng, 1), (D2, B, T, H * d))
+    v2 = jax.random.normal(jax.random.fold_in(rng, 2), (D2, B, T, H * d))
+    scale = 1.0 / np.sqrt(d)
+    seed = jnp.zeros((1,), jnp.int32)
+
+    def one(q, k, v):
+        return small_mha_dropout_grad_flat(q, k, v, None, seed, H, scale,
+                                           0.0)
+
+    out = jax.vmap(one)(q2, k2, v2)
+    expect = jnp.stack([one(q2[i], k2[i], v2[i]) for i in range(D2)])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                               atol=1e-5)
+    g = jax.grad(lambda q: jnp.sum(jax.vmap(one)(q, k2, v2) ** 2))(q2)
+    ge = jax.grad(lambda q: jnp.sum(
+        jnp.stack([one(q[i], k2[i], v2[i]) for i in range(D2)]) ** 2))(q2)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(ge), atol=1e-4)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="in-kernel PRNG needs TPU")
+def test_flat_dropout_kernel_exact_vs_xla_with_extracted_mask():
+    from sbl_for_multilingual_lip_reading_tpu.ops.attention import (
+        dropout_keep_mask_flat, fused_small_mha_dropout_fwd_flat,
+        small_mha_dropout_grad_flat)
+    rng = jax.random.PRNGKey(0)
+    B, T, H, d = 16, 9, 4, 64
+    q2 = jax.random.normal(rng, (B, T, H * d))
+    k2 = jax.random.normal(jax.random.fold_in(rng, 1), (B, T, H * d))
+    v2 = jax.random.normal(jax.random.fold_in(rng, 2), (B, T, H * d))
+    scale = 1.0 / np.sqrt(d)
+    seed = jnp.array([77], jnp.int32)
+    rate = 0.3
+    keep = dropout_keep_mask_flat(B, T, T, H, seed, rate)
+    frac = float(jnp.mean(keep.astype(jnp.float32)))
+    assert abs(frac - (1 - rate)) < 0.05
+
+    def xla(q, k, v):
+        qh = q.reshape(B, T, H, d)
+        kh = k.reshape(B, T, H, d)
+        vh = v.reshape(B, T, H, d)
+        s = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) * scale
+        p = jax.nn.softmax(s, -1)
+        out = jnp.einsum("bhqk,bkhd->bqhd",
+                         jnp.where(keep, p, 0.0) / (1 - rate), vh)
+        return out.reshape(B, T, H * d)
+
+    out = fused_small_mha_dropout_fwd_flat(q2, k2, v2, H, None, seed, scale,
+                                           rate)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(xla(q2, k2, v2)),
+                               atol=1e-5)
+    w = jax.random.normal(jax.random.fold_in(rng, 9), (B, T, H * d))
+    gk = jax.grad(lambda q: jnp.sum(
+        small_mha_dropout_grad_flat(q, k2, v2, None, seed, H, scale,
+                                    rate) * w))(q2)
+    gx = jax.grad(lambda q: jnp.sum(xla(q, k2, v2) * w))(q2)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gx), atol=2e-3)

@@ -53,10 +53,16 @@ def report(trace_dir, label, iters):
     print(f"--- {label}: planes {planes}", flush=True)
     dev = [r for r in rows if "TPU" in r[0] or "device" in r[0].lower()]
     use = dev if dev else rows
+    if os.environ.get("FILTER_COPIES"):
+        # copy-start/copy-done report async in-flight duration, which
+        # overlaps compute and double-counts; drop them for a busy-time view
+        use = [r for r in use if not r[1].startswith(("%copy-start",
+                                                      "%copy-done"))]
     use = sorted(use, key=lambda r: -r[2])
-    for plane, name, dur, cnt in use[:18]:
+    nrows = int(os.environ.get("TRACE_ROWS", "18"))
+    for plane, name, dur, cnt in use[:nrows]:
         ms = dur / 1e9
-        print(f"  {plane[:28]:28s} {name[:44]:44s} {ms:9.2f} ms total "
+        print(f"  {plane[:28]:28s} {name[:64]:64s} {ms:9.2f} ms total "
               f"({ms / iters:7.2f}/iter, n={cnt})", flush=True)
 
 
