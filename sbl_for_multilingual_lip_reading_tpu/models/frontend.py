@@ -97,9 +97,38 @@ class BasicBlock(nn.Module):
     bn_epsilon: float = 1e-5
     dtype: jnp.dtype = jnp.float32
     bn_groups: int = 1
+    # fused Pallas block kernel on eval steps (ops/resblock.py).  Default
+    # OFF: measured 2.2-2.6x SLOWER than XLA's conv emitter at stage-1
+    # shapes -- Mosaic tap relayouts dominate and C_out=64 caps any
+    # matmul formulation near 50% MXU anyway (see ops/resblock.py
+    # docstring for the round-3 measurement log)
+    use_pallas_resblock: bool = False
+    fused_interpret: bool = False  # force interpret mode (CPU tests)
+
+    def _fused_eligible(self, x: Array, train: bool) -> bool:
+        if (train or self.stride != 1 or x.shape[-1] != self.filters
+                or not self.use_pallas_resblock or self.is_initializing()):
+            return False
+        from ..ops.attention import available
+        return available() or self.fused_interpret
+
+    def _fused_eval(self, x: Array) -> Array:
+        from ..ops.resblock import fold_bn, fused_resblock
+        p = self.variables["params"]
+        s = self.variables["batch_stats"]
+        a1, b1 = fold_bn(p["bn1"]["scale"], p["bn1"]["bias"],
+                         s["bn1"]["mean"], s["bn1"]["var"], self.bn_epsilon)
+        a2, b2 = fold_bn(p["bn2"]["scale"], p["bn2"]["bias"],
+                         s["bn2"]["mean"], s["bn2"]["var"], self.bn_epsilon)
+        return fused_resblock(
+            x, p["conv1"]["kernel"].astype(self.dtype), a1, b1,
+            p["conv2"]["kernel"].astype(self.dtype), a2, b2,
+            interpret=True if self.fused_interpret else None)
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
+        if self._fused_eligible(x, train):
+            return self._fused_eval(x)
         def bn(name, h):
             # fp32 statistics, activations kept in compute dtype (the f32
             # BN outputs would otherwise double backward-pass HBM)
@@ -147,6 +176,7 @@ class ResNetTrunk(nn.Module):
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
     bn_groups: int = 1
+    use_pallas_resblock: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -157,6 +187,7 @@ class ResNetTrunk(nn.Module):
                 stride = 2 if (stage > 0 and b == 0) else 1
                 x = block_cls(ch, stride, self.bn_momentum, self.bn_epsilon,
                               self.dtype, self.bn_groups,
+                              self.use_pallas_resblock,
                               name=f"layer{stage + 1}_block{b}")(
                     x, train)
         return jnp.mean(x, axis=(1, 2))  # AdaptiveAvgPool2d(1)
@@ -181,6 +212,9 @@ class VisualFrontend(nn.Module):
     # dynamic-update-slice stack chain measured ~6.7 ms/iter @B=256 for
     # ~600 MB written (~8x over bandwidth)
     use_pallas_stem: bool = True
+    # fused Pallas BasicBlock kernel experiment (ops/resblock.py); default
+    # OFF -- measured slower than XLA's conv emitter (docstring there)
+    use_pallas_resblock: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False,
@@ -236,7 +270,8 @@ class VisualFrontend(nn.Module):
                         padding=((1, 1), (1, 1)))
         x = ResNetTrunk(self.resnet_channels, self.resnet_blocks,
                         self.bn_momentum, self.bn_epsilon, self.dtype,
-                        self.remat, self.bn_groups, name="resnet")(
+                        self.remat, self.bn_groups,
+                        self.use_pallas_resblock, name="resnet")(
             x, train=train)
         x = nn.Dropout(self.dropout, name="feat_drop")(
             x, deterministic=deterministic)

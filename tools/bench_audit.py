@@ -44,6 +44,11 @@ def main():
         import dataclasses
         model = dataclasses.replace(model, frontend=dataclasses.replace(
             model.frontend, use_pallas_stem=False))
+    if os.environ.get("PALLAS_RESBLOCK"):
+        # default-off experiment (ops/resblock.py: measured slower)
+        import dataclasses
+        model = dataclasses.replace(model, frontend=dataclasses.replace(
+            model.frontend, use_pallas_resblock=True))
     rng = jax.random.PRNGKey(0)
     B = int(os.environ.get("BENCH_B", "256"))
     T, raw, crop = cfg.data.frames, cfg.data.raw_size, cfg.data.crop_size

@@ -1,0 +1,187 @@
+"""Device-clock split of the SBL training step: fwd / bwd / optimizer.
+
+The inference path got a full trace-driven optimization campaign in round
+2; this is the training-side equivalent of tools/split_probe.py.  All
+timings use the robust loop protocol (perturbed inputs + amortized
+fetches, tools/tpu_timing.py) -- never naive block_until_ready.
+
+Measures, at the reference batch (default 240, dropout active):
+  fwd        -- loss computation only (no grad)
+  fwd+bwd    -- jax.grad of the loss (includes remat recompute)
+  full       -- the production train_step (grad + optimizer update)
+  update     ~= full - fwd+bwd;   bwd ~= fwd+bwd - fwd
+plus an attribution split: frontend-only and decoder-only fwd+bwd.
+
+Env: BENCH_B, NO_PALLAS_ATTN=1 (einsum-path ablation), DROPOUT0=1.
+Usage: python tools/train_split_probe.py
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tools.tpu_timing import loop_t
+
+
+def main():
+    from sbl_for_multilingual_lip_reading_tpu import config as C
+    from sbl_for_multilingual_lip_reading_tpu.data.pipeline import (
+        device_ingest)
+    from sbl_for_multilingual_lip_reading_tpu.models import build_model
+    from sbl_for_multilingual_lip_reading_tpu.training.loss import (
+        cal_performance)
+    from sbl_for_multilingual_lip_reading_tpu.training.steps import (
+        make_sbl_train_step)
+    from sbl_for_multilingual_lip_reading_tpu.training.schedule import (
+        make_optimizer)
+    from sbl_for_multilingual_lip_reading_tpu.training.trainer import (
+        init_state)
+
+    cfg = C.sbl()
+    if os.environ.get("NO_PALLAS_ATTN"):
+        cfg = dataclasses.replace(cfg, use_pallas_attention=False)
+    if os.environ.get("DROPOUT0"):
+        cfg = dataclasses.replace(
+            cfg, dims=dataclasses.replace(cfg.dims, dropout=0.0),
+            frontend=dataclasses.replace(cfg.frontend, dropout=0.0))
+    B = int(os.environ.get("BENCH_B", "240"))
+    model = build_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    T, raw, crop = cfg.data.frames, cfg.data.raw_size, cfg.data.crop_size
+    dtype = jnp.dtype(cfg.compute_dtype)
+    smoothing = cfg.optim.label_smoothing
+
+    state, tx = init_state(model, cfg, rng)
+    train_step = make_sbl_train_step(model, tx, cfg)
+
+    rng_np = np.random.default_rng(0)
+    batch = {
+        "clip_u8": jnp.asarray(rng_np.integers(
+            0, 256, size=(B, T, raw, raw), dtype=np.uint8)),
+        "labels": jnp.asarray(rng_np.integers(
+            4, 40, size=(B, cfg.decoder.target_pad_len), dtype=np.int32)),
+        "labels_reverse": jnp.asarray(rng_np.integers(
+            4, 40, size=(B, cfg.decoder.target_pad_len), dtype=np.int32)),
+        "offsets": jnp.asarray(rng_np.integers(
+            0, 9, size=(B, T, 2), dtype=np.int32)),
+        "flip": jnp.asarray(rng_np.random(B) < 0.5),
+        "frame_map": jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32),
+                                      (B, T)),
+    }
+
+    def loss_of(params, bs, video, labels, labels_rev, rng):
+        drop_rng, teach_rng = jax.random.split(rng)
+        out, _ = model.apply(
+            {"params": params, "batch_stats": bs}, video, labels,
+            labels_rev, train=True,
+            rngs={"dropout": drop_rng, "teacher": teach_rng},
+            mutable=["batch_stats"])
+        p_l2r, g_l2r, p_r2l, g_r2l = out
+        l1, _ = cal_performance(p_l2r, g_l2r, smoothing)
+        l2, _ = cal_performance(p_r2l, g_r2l, smoothing)
+        return 0.5 * (l1 + l2)
+
+    @jax.jit
+    def fwd_only(state, batch, rng):
+        video = device_ingest(batch["clip_u8"], batch["offsets"],
+                              batch["flip"], batch["frame_map"], crop, dtype)
+        return loss_of(state.params, state.batch_stats, video,
+                       batch["labels"], batch["labels_reverse"], rng)
+
+    @jax.jit
+    def fwd_bwd(state, batch, rng):
+        video = device_ingest(batch["clip_u8"], batch["offsets"],
+                              batch["flip"], batch["frame_map"], crop, dtype)
+        g = jax.grad(lambda p: loss_of(p, state.batch_stats, video,
+                                       batch["labels"],
+                                       batch["labels_reverse"], rng))(
+            state.params)
+        return jax.tree_util.tree_leaves(g)[0]
+
+    @jax.jit
+    def full(state, batch, rng):
+        new_state, m = train_step(state, batch, rng)
+        return m["loss"]
+
+    # attribution: frontend / encoder+decoder fwd+bwd separately
+    video0 = jax.jit(lambda b: device_ingest(
+        b["clip_u8"], b["offsets"], b["flip"], b["frame_map"], crop, dtype)
+    )(batch)
+    feats0 = jax.jit(lambda s, v: model.apply(
+        {"params": s.params, "batch_stats": s.batch_stats},
+        method=lambda m: m.frontend(v[..., None], train=False,
+                                    deterministic=True)))(state, video0)
+
+    @jax.jit
+    def frontend_fb(state, video, rng):
+        def f(p):
+            out, _ = model.apply(
+                {"params": p, "batch_stats": state.batch_stats},
+                method=lambda m: m.frontend(video[..., None], train=True,
+                                            deterministic=False),
+                rngs={"dropout": rng}, mutable=["batch_stats"])
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+        g = jax.grad(f)(state.params)
+        return jax.tree_util.tree_leaves(g["frontend"])[0]
+
+    @jax.jit
+    def decoder_fb(state, feats, batch, rng):
+        drop_rng, teach_rng = jax.random.split(rng)
+
+        def f(p):
+            enc = model.apply({"params": p, "batch_stats": state.batch_stats},
+                              method=lambda m: m.encoder(
+                                  feats, deterministic=False),
+                              rngs={"dropout": drop_rng})
+            out = model.apply(
+                {"params": p, "batch_stats": state.batch_stats},
+                method=lambda m: m.decoder(batch["labels"],
+                                           batch["labels_reverse"], enc,
+                                           deterministic=False),
+                rngs={"dropout": drop_rng, "teacher": teach_rng})
+            p_l2r, g_l2r, p_r2l, g_r2l = out
+            l1, _ = cal_performance(p_l2r, g_l2r, smoothing)
+            l2, _ = cal_performance(p_r2l, g_r2l, smoothing)
+            return 0.5 * (l1 + l2)
+        g = jax.grad(f)(state.params)
+        return jax.tree_util.tree_leaves(g["decoder"])[0]
+
+    def perturb_batch(args, i):
+        s, b = args[0], dict(args[1])
+        b["clip_u8"] = b["clip_u8"] + np.uint8(i + 1)
+        return (s, b) + args[2:]
+
+    rngk = jax.random.PRNGKey(7)
+    jobs = [
+        ("fwd      ", fwd_only, (state, batch, rngk), perturb_batch),
+        ("fwd+bwd  ", fwd_bwd, (state, batch, rngk), perturb_batch),
+        ("full step", full, (state, batch, rngk), perturb_batch),
+        ("frontend fwd+bwd", frontend_fb, (state, video0, rngk),
+         lambda a, i: (a[0], a[1] + jnp.asarray(0.001 * (i + 1),
+                                                a[1].dtype), a[2])),
+        ("decoder fwd+bwd ", decoder_fb, (state, feats0, batch, rngk),
+         lambda a, i: (a[0], a[1] + jnp.asarray(0.001 * (i + 1),
+                                                a[1].dtype)) + a[2:]),
+    ]
+    results = {}
+    for name, fn, args, pert in jobs:
+        ms = loop_t(fn, *args, iters=8, perturb=pert, inner=4)
+        results[name] = ms
+        print(f"{name}: {ms:8.2f} ms/iter ({B / ms * 1000:7.1f} clips/s)",
+              flush=True)
+    fwd = results["fwd      "]
+    fb = results["fwd+bwd  "]
+    fl = results["full step"]
+    print(f"derived: bwd ~= {fb - fwd:.2f} ms, optimizer ~= {fl - fb:.2f} ms",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
