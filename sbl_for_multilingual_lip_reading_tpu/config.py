@@ -148,6 +148,9 @@ class WorkloadConfig:
     # rematerialize ResNet blocks in backward (activation-memory saver for
     # the reference's batch-240 recipe on a 16 GB chip)
     remat_frontend: bool = True
+    # rematerialize each SBL decode step in backward (decoder_sbl.remat);
+    # saves 16 steps x 12 layers of (B, 17, d_inner) activations
+    remat_decoder: bool = True
     # zero gradients for these top-level param subtrees (the reference's
     # manual requires_grad stage toggles, README.md:46-48)
     freeze_prefixes: Tuple[str, ...] = ()

@@ -39,6 +39,7 @@ def build_model(cfg):
             teacher_forcing_rate=d.teacher_forcing_rate, dtype=dtype,
             use_pallas=cfg.use_pallas_attention,
             use_fused_layer=cfg.use_fused_decoder_layer,
+            remat=cfg.remat_decoder,
             decode_segments=d.decode_segments)
         return SBLTransformer(frontend, encoder, decoder)
     decoder = UniDecoder(

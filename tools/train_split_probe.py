@@ -51,6 +51,10 @@ def main():
         cfg = dataclasses.replace(
             cfg, dims=dataclasses.replace(cfg.dims, dropout=0.0),
             frontend=dataclasses.replace(cfg.frontend, dropout=0.0))
+    if os.environ.get("NO_REMAT_FRONTEND"):
+        cfg = dataclasses.replace(cfg, remat_frontend=False)
+    if os.environ.get("NO_REMAT_DECODER"):
+        cfg = dataclasses.replace(cfg, remat_decoder=False)
     B = int(os.environ.get("BENCH_B", "240"))
     model = build_model(cfg)
     rng = jax.random.PRNGKey(0)
@@ -95,6 +99,13 @@ def main():
         return loss_of(state.params, state.batch_stats, video,
                        batch["labels"], batch["labels_reverse"], rng)
 
+    def _anchor(tree):
+        # depend on EVERY leaf: returning a single leaf lets XLA dead-code
+        # -eliminate the rest of the backward/update (measured: "full step"
+        # timed faster than fwd+bwd before this)
+        return sum(jnp.sum(l.astype(jnp.float32) ** 2)
+                   for l in jax.tree_util.tree_leaves(tree))
+
     @jax.jit
     def fwd_bwd(state, batch, rng):
         video = device_ingest(batch["clip_u8"], batch["offsets"],
@@ -103,12 +114,12 @@ def main():
                                        batch["labels"],
                                        batch["labels_reverse"], rng))(
             state.params)
-        return jax.tree_util.tree_leaves(g)[0]
+        return _anchor(g)
 
     @jax.jit
     def full(state, batch, rng):
         new_state, m = train_step(state, batch, rng)
-        return m["loss"]
+        return m["loss"] + _anchor(new_state.params)
 
     # attribution: frontend / encoder+decoder fwd+bwd separately
     video0 = jax.jit(lambda b: device_ingest(
@@ -129,7 +140,7 @@ def main():
                 rngs={"dropout": rng}, mutable=["batch_stats"])
             return jnp.sum(out.astype(jnp.float32) ** 2)
         g = jax.grad(f)(state.params)
-        return jax.tree_util.tree_leaves(g["frontend"])[0]
+        return _anchor(g["frontend"])
 
     @jax.jit
     def decoder_fb(state, feats, batch, rng):
@@ -151,7 +162,7 @@ def main():
             l2, _ = cal_performance(p_r2l, g_r2l, smoothing)
             return 0.5 * (l1 + l2)
         g = jax.grad(f)(state.params)
-        return jax.tree_util.tree_leaves(g["decoder"])[0]
+        return _anchor({"d": g["decoder"], "e": g["encoder"]})
 
     def perturb_batch(args, i):
         s, b = args[0], dict(args[1])
@@ -170,17 +181,21 @@ def main():
          lambda a, i: (a[0], a[1] + jnp.asarray(0.001 * (i + 1),
                                                 a[1].dtype)) + a[2:]),
     ]
+    only = os.environ.get("JOBS")
     results = {}
     for name, fn, args, pert in jobs:
+        if only and name.strip() not in [j.strip() for j in only.split(",")]:
+            continue
         ms = loop_t(fn, *args, iters=8, perturb=pert, inner=4)
         results[name] = ms
         print(f"{name}: {ms:8.2f} ms/iter ({B / ms * 1000:7.1f} clips/s)",
               flush=True)
-    fwd = results["fwd      "]
-    fb = results["fwd+bwd  "]
-    fl = results["full step"]
-    print(f"derived: bwd ~= {fb - fwd:.2f} ms, optimizer ~= {fl - fb:.2f} ms",
-          flush=True)
+    if not only:
+        fwd = results["fwd      "]
+        fb = results["fwd+bwd  "]
+        fl = results["full step"]
+        print(f"derived: bwd ~= {fb - fwd:.2f} ms, "
+              f"optimizer ~= {fl - fb:.2f} ms", flush=True)
 
 
 if __name__ == "__main__":
