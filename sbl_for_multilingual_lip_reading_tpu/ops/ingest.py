@@ -1,0 +1,102 @@
+"""Pallas training-ingest kernel: fused u8 -> bf16 crop/flip/gather.
+
+The training ingest (data/pipeline.py::device_ingest with per-frame
+offsets) lowers to two ``take_along_axis`` gathers over the full clip
+batch -- measured 21.3 ms @B=240 vs the eval path's 1.7 ms (static
+slice), ~40x over the ~0.5 ms bandwidth floor for the 66 MB u8 read +
+111 MB bf16 write (tools/train_split_probe.py round 3).
+
+This kernel does the whole plan application in ONE pass, one clip per
+program, everything in VMEM:
+
+* FrameRemoval: the source frame index is a dynamic sublane-block load
+  (``frame_map`` rides in SMEM via scalar prefetch);
+* row crop: dynamic-start sublane slice (dy in [0, 8]);
+* column crop: a 9-way masked select over the 9 static lane slices --
+  the offset range is tiny, and static slices + selects beat a dynamic
+  lane rotate;
+* ColorNormalize (u8 -> f32 -> out dtype) and whole-clip HorizontalFlip
+  (static lane reverse, selected per clip) fold into the same pass.
+
+Reference semantics: SBL data_gen.py:270-304 + cvtransforms.py (see
+data/transforms.py); validated against ``apply_plan_host`` in
+tests/test_ingest_kernel.py.  Not differentiable (no parameters are
+upstream of ingest -- same argument as ops/stem.py).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from .attention import available, pltpu
+from ..data.transforms import MEAN, STD
+
+MAX_OFFSET = 8  # RandomCrop range [0, 8] (cvtransforms.py:28-29)
+
+
+def ingest_train(clips_u8: jnp.ndarray, offsets: jnp.ndarray,
+                 flip: jnp.ndarray, frame_map: jnp.ndarray, crop: int,
+                 dtype=jnp.bfloat16,
+                 n_frames: Optional[jnp.ndarray] = None,
+                 interpret: Optional[bool] = None) -> jnp.ndarray:
+    """(B, T, H, W) u8 + integer plans -> (B, T, crop, crop) normalized.
+
+    offsets: (B, T, 2) int32 per-frame (y, x) in [0, H-crop]; flip: (B,)
+    bool; frame_map: (B, T) int32; n_frames: optional (B,) valid counts
+    (pad slots zeroed AFTER normalization, data_gen.py:293-295).
+    """
+    B, T, H, W = clips_u8.shape
+    assert H - crop <= MAX_OFFSET and W - crop <= MAX_OFFSET, \
+        "offset range exceeds the static 9-way column select"
+    if interpret is None:
+        interpret = not available()
+    inv_std = 1.0 / (255.0 * STD)
+    shift = MEAN / STD
+    have_n = n_frames is not None
+    if not have_n:
+        n_frames = jnp.full((B,), T, jnp.int32)
+
+    # scalar-prefetch args (SMEM): flattened per-clip integer plans
+    off_y = offsets[..., 0].astype(jnp.int32)            # (B, T)
+    off_x = offsets[..., 1].astype(jnp.int32)            # (B, T)
+    fmap = frame_map.astype(jnp.int32)                   # (B, T)
+    flip_i = flip.astype(jnp.int32)                      # (B,)
+    nf = n_frames.astype(jnp.int32)                      # (B,)
+
+    def kernel(oy_ref, ox_ref, fm_ref, fl_ref, nf_ref, x_ref, o_ref):
+        b = pl.program_id(0)
+        do_flip = fl_ref[b] != 0
+        nvalid = nf_ref[b]
+        for t in range(T):
+            src = fm_ref[b, t]
+            dy = oy_ref[b, t]
+            dx = ox_ref[b, t]
+            frame = x_ref[0, pl.ds(src, 1), pl.ds(dy, crop), :][0]
+            # (crop, W) u8
+            f = frame.astype(jnp.float32) * inv_std - shift
+            # 9-way static lane-slice select for the column offset
+            out = jnp.zeros((crop, crop), jnp.float32)
+            for k in range(MAX_OFFSET + 1):
+                out = jnp.where(dx == k, f[:, k:k + crop], out)
+            # static lane reverse, selected by the per-clip flip flag
+            out = jnp.where(do_flip, out[:, ::-1], out)
+            if have_n:
+                out = jnp.where(t < nvalid, out, 0.0)
+            o_ref[0, t] = out.astype(o_ref.dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, T, H, W), lambda b, *_: (b, 0, 0, 0))],
+        out_specs=pl.BlockSpec((1, T, crop, crop),
+                               lambda b, *_: (b, 0, 0, 0)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, T, crop, crop), dtype),
+        interpret=interpret,
+    )(off_y, off_x, fmap, flip_i, nf, clips_u8)

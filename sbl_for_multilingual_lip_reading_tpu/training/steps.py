@@ -38,7 +38,19 @@ def _freeze_grads(grads, freeze_prefixes):
 
 
 def _ingest_train(batch, crop: int, dtype):
-    return device_ingest(batch["clip_u8"], batch["offsets"], batch["flip"],
+    clips = batch["clip_u8"]
+    from ..ops.attention import available
+    from ..ops.ingest import MAX_OFFSET, ingest_train
+    if (available()
+            and clips.shape[2] - crop <= MAX_OFFSET
+            and clips.shape[3] - crop <= MAX_OFFSET):
+        # fused Pallas plan-application: the take_along_axis crop gathers
+        # measured 21.3 ms @B=240 vs ~1.7 ms for this kernel (round-3
+        # train campaign, ops/ingest.py)
+        return ingest_train(clips, batch["offsets"], batch["flip"],
+                            batch["frame_map"], crop, dtype,
+                            n_frames=batch.get("n_frames"))
+    return device_ingest(clips, batch["offsets"], batch["flip"],
                          batch["frame_map"], crop, dtype,
                          n_frames=batch.get("n_frames"))
 

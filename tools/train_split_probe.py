@@ -38,7 +38,7 @@ def main():
     from sbl_for_multilingual_lip_reading_tpu.training.loss import (
         cal_performance)
     from sbl_for_multilingual_lip_reading_tpu.training.steps import (
-        make_sbl_train_step)
+        _ingest_train, make_sbl_train_step)
     from sbl_for_multilingual_lip_reading_tpu.training.schedule import (
         make_optimizer)
     from sbl_for_multilingual_lip_reading_tpu.training.trainer import (
@@ -94,8 +94,7 @@ def main():
 
     @jax.jit
     def fwd_only(state, batch, rng):
-        video = device_ingest(batch["clip_u8"], batch["offsets"],
-                              batch["flip"], batch["frame_map"], crop, dtype)
+        video = _ingest_train(batch, crop, dtype)
         return loss_of(state.params, state.batch_stats, video,
                        batch["labels"], batch["labels_reverse"], rng)
 
@@ -108,8 +107,7 @@ def main():
 
     @jax.jit
     def fwd_bwd(state, batch, rng):
-        video = device_ingest(batch["clip_u8"], batch["offsets"],
-                              batch["flip"], batch["frame_map"], crop, dtype)
+        video = _ingest_train(batch, crop, dtype)
         g = jax.grad(lambda p: loss_of(p, state.batch_stats, video,
                                        batch["labels"],
                                        batch["labels_reverse"], rng))(
@@ -122,9 +120,7 @@ def main():
         return m["loss"] + _anchor(new_state.params)
 
     # attribution: frontend / encoder+decoder fwd+bwd separately
-    video0 = jax.jit(lambda b: device_ingest(
-        b["clip_u8"], b["offsets"], b["flip"], b["frame_map"], crop, dtype)
-    )(batch)
+    video0 = jax.jit(lambda b: _ingest_train(b, crop, dtype))(batch)
     feats0 = jax.jit(lambda s, v: model.apply(
         {"params": s.params, "batch_stats": s.batch_stats},
         method=lambda m: m.frontend(v[..., None], train=False,
