@@ -11,12 +11,13 @@ program, everything in VMEM:
 
 * FrameRemoval: the source frame index is a dynamic sublane-block load
   (``frame_map`` rides in SMEM via scalar prefetch);
-* row crop: dynamic-start sublane slice (dy in [0, 8]);
-* column crop: a 9-way masked select over the 9 static lane slices --
-  the offset range is tiny, and static slices + selects beat a dynamic
-  lane rotate;
-* ColorNormalize (u8 -> f32 -> out dtype) and whole-clip HorizontalFlip
-  (static lane reverse, selected per clip) fold into the same pass.
+* row + column crop: 9-way masked selects over the 9 static slices each
+  (offsets in [0, 8]) -- a dynamic-start sublane slice crashes the
+  Mosaic compile helper (tools/ingest_bisect.py) and static slices +
+  selects beat a dynamic rotate anyway;
+* ColorNormalize (u8 -> i32 -> f32; Mosaic has no direct u8->f32 cast,
+  tools/cast_probe.py) and whole-clip HorizontalFlip (a dot with the
+  antidiagonal permutation -- Mosaic has no `rev`) fold into the pass.
 
 Reference semantics: SBL data_gen.py:270-304 + cvtransforms.py (see
 data/transforms.py); validated against ``apply_plan_host`` in
@@ -70,19 +71,38 @@ def ingest_train(clips_u8: jnp.ndarray, offsets: jnp.ndarray,
         b = pl.program_id(0)
         do_flip = fl_ref[b] != 0
         nvalid = nf_ref[b]
+        # Mosaic has no `rev` lowering: express the horizontal flip as a
+        # dot with the antidiagonal permutation (out @ P)[r, j] =
+        # out[r, crop-1-j] -- rides the MXU, ~0.1 ms total @B=240
+        ii = jax.lax.broadcasted_iota(jnp.int32, (crop, crop), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (crop, crop), 1)
+        rev_p = (ii + jj == crop - 1).astype(jnp.float32)
         for t in range(T):
             src = fm_ref[b, t]
             dy = oy_ref[b, t]
             dx = ox_ref[b, t]
-            frame = x_ref[0, pl.ds(src, 1), pl.ds(dy, crop), :][0]
-            # (crop, W) u8
-            f = frame.astype(jnp.float32) * inv_std - shift
-            # 9-way static lane-slice select for the column offset
+            frame = x_ref[0, pl.ds(src, 1), :, :][0]
+            # (H, W) u8; Mosaic has no u8->f32 cast -- hop through i32
+            # (tools/cast_probe.py: u8->i32->f32 OK, u8->f32/bf16 FAIL)
+            f = frame.astype(jnp.int32).astype(jnp.float32)
+            # 9-way static slice selects for BOTH crop offsets: a dynamic
+            # sublane-start slice (pl.ds on the row axis) crashes the
+            # Mosaic compile helper (tools/ingest_bisect.py), and static
+            # slices + selects beat a dynamic rotate anyway
+            row = jnp.zeros((crop, W), jnp.float32)
+            for k in range(MAX_OFFSET + 1):
+                row = jnp.where(dy == k, f[k:k + crop, :], row)
             out = jnp.zeros((crop, crop), jnp.float32)
             for k in range(MAX_OFFSET + 1):
-                out = jnp.where(dx == k, f[:, k:k + crop], out)
-            # static lane reverse, selected by the per-clip flip flag
-            out = jnp.where(do_flip, out[:, ::-1], out)
+                out = jnp.where(dx == k, row[:, k:k + crop], out)
+            # flip via the antidiagonal dot, selected per clip.  The MXU
+            # truncates f32 operands to bf16, so the dot runs on the RAW
+            # integer pixel values (0..255 -- exact in bf16; one nonzero
+            # product per output element) and normalization follows.
+            flipped = jax.lax.dot(out, rev_p,
+                                  preferred_element_type=jnp.float32)
+            out = jnp.where(do_flip, flipped, out)
+            out = out * inv_std - shift
             if have_n:
                 out = jnp.where(t < nvalid, out, 0.0)
             o_ref[0, t] = out.astype(o_ref.dtype)
