@@ -25,6 +25,7 @@ from tools.tpu_timing import chain_t
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--shape", type=str, default="7680,22,64")
+    ap.add_argument("--only", type=str, default="")
     args = ap.parse_args()
     N, S, C = (int(v) for v in args.shape.split(","))
     rng = jax.random.PRNGKey(0)
@@ -100,19 +101,44 @@ def main():
         y = bnrelu(conv1(y) + h, 4)
         return y
 
+    # --- context variants: reproduce the FULL-graph producer (maxpool /
+    # stem conv) ahead of the chain to see where the bad layout comes from
+    xp = (jax.random.normal(jax.random.fold_in(rng, 2),
+                            (N, 2 * S, 2 * S, C)) * 0.3).astype(jnp.bfloat16)
+
+    def _pool(v):
+        return jax.lax.reduce_window(
+            v, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+            ((0, 0), (1, 1), (1, 1), (0, 0)))
+
+    @jax.jit
+    def pool_chain(xp):
+        y = block_chain(_pool(xp))
+        # tile back up so the output chains as the next input (constant
+        # ~2x-write overhead, identical across the pool variants)
+        return jnp.tile(y, (1, 2, 2, 1))
+
+    @jax.jit
+    def pool_barrier_chain(xp):
+        y = block_chain(jax.lax.optimization_barrier(_pool(xp)))
+        return jnp.tile(y, (1, 2, 2, 1))
+
     variants = [
-        ("NHWC (baseline)   ", conv_fn("NHWC")),
-        ("NCHW dims         ", conv_fn("NCHW")),
-        ("NHWC pad 22->24   ", conv_fn("NHWC", pad_to=24)),
-        ("NHWC pad 22->32   ", conv_fn("NHWC", pad_to=32)),
-        ("NHWC f32 accum out", conv_fn("NHWC", out_dtype=jnp.float32)),
-        ("4conv block chain ", block_chain),
-        ("4conv chain pinned", block_chain_pinned),
+        ("NHWC (baseline)   ", conv_fn("NHWC"), x),
+        ("NCHW dims         ", conv_fn("NCHW"), x),
+        ("NHWC pad 22->24   ", conv_fn("NHWC", pad_to=24), x),
+        ("NHWC pad 22->32   ", conv_fn("NHWC", pad_to=32), x),
+        ("NHWC f32 accum out", conv_fn("NHWC", out_dtype=jnp.float32), x),
+        ("4conv block chain ", block_chain, x),
+        ("4conv chain pinned", block_chain_pinned, x),
+        ("pool + chain      ", pool_chain, xp),
+        ("pool + barrier + chain", pool_barrier_chain, xp),
     ]
-    for name, fn in variants:
+    for name, fn, xin in variants:
+        if args.only and args.only not in name:
+            continue
         try:
-            # numerics sanity on the first rows
-            t = chain_t(fn, x, iters=6, inner=8)
+            t = chain_t(fn, xin, iters=6, inner=8)
             print(f"{name}: {t:7.2f} ms ({gf / t:6.1f} GF/ms)", flush=True)
         except Exception as e:
             print(f"{name}: FAILED {str(e).splitlines()[0][:120]}",
