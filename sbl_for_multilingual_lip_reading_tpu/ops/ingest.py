@@ -1,10 +1,19 @@
 """Pallas training-ingest kernel: fused u8 -> bf16 crop/flip/gather.
 
+STATUS: measured SLOWER than the select-based XLA formulation and kept
+default-OFF (opt in with PALLAS_INGEST=1, training/steps.py).  The
+original take_along_axis gathers cost 21.6 ms @B=240; this kernel made
+the full train step 13 ms slower than that baseline (7200 per-frame
+(88,88) MXU dots + 18 selects per frame dominate); the 9-way
+static-slice select crop inside device_ingest runs 4.8 ms
+(tools/ingest_variant_probe.py).  Kept for the Mosaic lowering lessons
+documented below (u8 casts, dynamic sublane slices, rev).
+
 The training ingest (data/pipeline.py::device_ingest with per-frame
-offsets) lowers to two ``take_along_axis`` gathers over the full clip
-batch -- measured 21.3 ms @B=240 vs the eval path's 1.7 ms (static
-slice), ~40x over the ~0.5 ms bandwidth floor for the 66 MB u8 read +
-111 MB bf16 write (tools/train_split_probe.py round 3).
+offsets) originally lowered to two ``take_along_axis`` gathers over the
+full clip batch -- measured 21.6 ms @B=240 vs the eval path's 0.9 ms
+(static slice), ~40x over the ~0.5 ms bandwidth floor for the 66 MB u8
+read + 111 MB bf16 write (tools/train_split_probe.py round 3).
 
 This kernel does the whole plan application in ONE pass, one clip per
 program, everything in VMEM:

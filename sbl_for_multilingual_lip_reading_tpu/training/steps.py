@@ -17,6 +17,7 @@ zeroes gradients for matching top-level param subtrees (e.g.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Callable, Tuple
 
 import jax
@@ -39,17 +40,19 @@ def _freeze_grads(grads, freeze_prefixes):
 
 def _ingest_train(batch, crop: int, dtype):
     clips = batch["clip_u8"]
-    from ..ops.attention import available
-    from ..ops.ingest import MAX_OFFSET, ingest_train
-    if (available()
-            and clips.shape[2] - crop <= MAX_OFFSET
-            and clips.shape[3] - crop <= MAX_OFFSET):
-        # fused Pallas plan-application: the take_along_axis crop gathers
-        # measured 21.3 ms @B=240 vs ~1.7 ms for this kernel (round-3
-        # train campaign, ops/ingest.py)
-        return ingest_train(clips, batch["offsets"], batch["flip"],
-                            batch["frame_map"], crop, dtype,
-                            n_frames=batch.get("n_frames"))
+    if os.environ.get("PALLAS_INGEST"):
+        # Kept as an opt-in experiment only: the per-clip Pallas plan
+        # kernel measured SLOWER than device_ingest's select-based crop
+        # (full train step 469 vs 456 ms @B=240; its per-frame Python
+        # loop issues 7200 tiny MXU dots).  See ops/ingest.py.
+        from ..ops.attention import available
+        from ..ops.ingest import MAX_OFFSET, ingest_train
+        if (available()
+                and clips.shape[2] - crop <= MAX_OFFSET
+                and clips.shape[3] - crop <= MAX_OFFSET):
+            return ingest_train(clips, batch["offsets"], batch["flip"],
+                                batch["frame_map"], crop, dtype,
+                                n_frames=batch.get("n_frames"))
     return device_ingest(clips, batch["offsets"], batch["flip"],
                          batch["frame_map"], crop, dtype,
                          n_frames=batch.get("n_frames"))

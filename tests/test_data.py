@@ -306,6 +306,34 @@ def test_device_ingest_gather_crop_matches_numpy():
             np.testing.assert_allclose(out[b, t], ref, atol=1e-5)
 
 
+def test_device_ingest_select_crop_matches_gather():
+    """The select-based crop (offset range <= 8) must agree with the
+    gather fallback (exercised here via an offset range > 8)."""
+    from sbl_for_multilingual_lip_reading_tpu.data import pipeline as P
+    rng = np.random.default_rng(5)
+    B, Tn, crop = 2, 4, 8
+    raw_small = crop + P.MAX_SELECT_OFFSET       # select path
+    raw_large = crop + P.MAX_SELECT_OFFSET + 2   # gather path
+    for raw in (raw_small, raw_large):
+        clips = rng.integers(0, 256, size=(B, Tn, raw, raw), dtype=np.uint8)
+        offs = rng.integers(0, raw - crop + 1,
+                            size=(B, Tn, 2)).astype(np.int32)
+        flip = rng.random(B) < 0.5
+        fmap = rng.integers(0, Tn, size=(B, Tn)).astype(np.int32)
+        out = np.asarray(P.device_ingest(
+            jnp.asarray(clips), jnp.asarray(offs), jnp.asarray(flip),
+            jnp.asarray(fmap), crop))
+        for b in range(B):
+            src = clips[b, fmap[b], :, :]
+            for t in range(Tn):
+                y, x = offs[b, t]
+                ref = src[t, y:y + crop, x:x + crop].astype(np.float64)
+                ref = (ref / 255.0 - T.MEAN) / T.STD
+                if flip[b]:
+                    ref = ref[:, ::-1]
+                np.testing.assert_allclose(out[b, t], ref, atol=1e-5)
+
+
 def test_batcher_strided_multihost_ragged_tail():
     """Every sample lands on exactly one host, including the ragged tail."""
     ds = SyntheticLipDataset(size=10, frames=2, raw_size=8)
