@@ -22,10 +22,8 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.slow
-def test_two_process_dp_step_and_batcher_striping():
+def _run_workers(nproc: int):
     port = _free_port()
-    nproc = 2
     worker = os.path.join(os.path.dirname(__file__), "_dp_worker.py")
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
@@ -37,14 +35,32 @@ def test_two_process_dp_step_and_batcher_striping():
         for i in range(nproc)
     ]
     outs = []
-    try:
-        for p in procs:
+    for p in procs:
+        try:
             out, _ = p.communicate(timeout=900)
-            outs.append(out)
-    finally:
-        for p in procs:
-            if p.poll() is None:
-                p.kill()
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+            out = (out or "") + "\n[TIMEOUT after 900s]"
+        outs.append(out)
+    for p in procs:
+        if p.poll() is None:
+            p.kill()
+    return procs, outs
+
+
+@pytest.mark.slow
+def test_two_process_dp_step_and_batcher_striping():
+    nproc = 2
+    # The gloo CPU-collectives backend has a fixed 30 s key-value-store
+    # deadline during module setup; on a loaded 1-core box the two workers
+    # can drift past it while compiling (observed flake: DEADLINE_EXCEEDED
+    # under a concurrent full-suite + TPU-probe run).  One retry makes the
+    # test robust to machine load without weakening any assertion.
+    for attempt in range(2):
+        procs, outs = _run_workers(nproc)
+        if all(p.returncode == 0 for p in procs) or attempt == 1:
+            break
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
         assert f"WORKER_OK {i}" in out, out[-4000:]
