@@ -90,7 +90,11 @@ def main():
     def perturb(args, i):
         return ((args[0] + np.uint8(i + 1)),)
 
-    robust = loop_t(recognize_batch, clips, iters=20, perturb=perturb)
+    # inner=4 amortizes the per-fetch tunnel sync; reps=3 + min/min defends
+    # against multi-second congestion stalls landing inside one block
+    # (see tpu_timing.loop_t docstring / bench.py history, round 3)
+    robust = loop_t(recognize_batch, clips, iters=5, perturb=perturb,
+                    inner=4, reps=3)
     print(f"robust  perturbed-input: {robust:8.2f} ms/iter "
           f"({B / robust * 1000:8.1f} clips/s)", flush=True)
 

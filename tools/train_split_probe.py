@@ -182,7 +182,9 @@ def main():
     for name, fn, args, pert in jobs:
         if only and name.strip() not in [j.strip() for j in only.split(",")]:
             continue
-        ms = loop_t(fn, *args, iters=8, perturb=pert, inner=4)
+        ms = loop_t(fn, *args, iters=int(os.environ.get("ITERS", "4")),
+                    perturb=pert, inner=4,
+                    reps=int(os.environ.get("REPS", "3")))
         results[name] = ms
         print(f"{name}: {ms:8.2f} ms/iter ({B / ms * 1000:7.1f} clips/s)",
               flush=True)
