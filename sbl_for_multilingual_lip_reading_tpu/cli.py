@@ -90,6 +90,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--bigram-lm", action="store_true",
                    help="bias beam search with a bigram LM built from the "
                         "train labels (LRW-1000 protocol)")
+    p.add_argument("--remat-frontend", default=None,
+                   action=argparse.BooleanOptionalAction,
+                   help="rematerialize frontend ResNet blocks in backward; "
+                        "default off (the reference B=240 recipe fits a "
+                        "16 GB chip without it and trains ~6%% faster) -- "
+                        "turn on to reclaim activation HBM, e.g. with "
+                        "--cache-on-device datasets or larger batches")
     return p
 
 
@@ -147,6 +154,12 @@ def config_from_args(args) -> C.WorkloadConfig:
         over["batch_size"] = args.batch_size
     if args.compute_dtype is not None:
         over["compute_dtype"] = args.compute_dtype
+    if args.remat_frontend is not None:
+        over["remat_frontend"] = args.remat_frontend
+    elif getattr(args, "cache_on_device", False):
+        # a device-resident dataset shares HBM with the activations; keep
+        # the memory-saving default there unless explicitly overridden
+        over["remat_frontend"] = True
     return dataclasses.replace(cfg, **over)
 
 

@@ -145,9 +145,13 @@ class WorkloadConfig:
     # compile, and at (B=240, L=5) the direction-vmapped kernel overflowed
     # the 16 MB scoped VMEM.  Kept as an option for further fusion work.
     use_fused_decoder_layer: bool = False
-    # rematerialize ResNet blocks in backward (activation-memory saver for
-    # the reference's batch-240 recipe on a 16 GB chip)
-    remat_frontend: bool = True
+    # rematerialize ResNet blocks in backward (activation-memory saver).
+    # Default OFF since round 3: the reference's B=240 recipe FITS a 16 GB
+    # chip with frontend activations stored, and skipping the recompute is
+    # 453 -> 426 ms/step (530 -> 563 clips/s, tools/train_split_probe.py).
+    # Turn on (--remat-frontend) for --cache-on-device datasets or larger
+    # batches, where the reclaimed activation HBM matters more.
+    remat_frontend: bool = False
     # rematerialize each SBL decode step in backward (decoder_sbl.remat);
     # saves 16 steps x 12 layers of (B, 17, d_inner) activations
     remat_decoder: bool = True

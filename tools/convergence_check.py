@@ -39,7 +39,11 @@ def run_full_dims(args) -> int:
     from sbl_for_multilingual_lip_reading_tpu.training import Trainer
 
     cfg = C.sbl()  # reference dims + schedule (k=0.2, warmup 4000, ls 0.1)
-    cfg = dataclasses.replace(cfg, batch_size=args.batch_size)
+    # remat_frontend: the cached device-resident dataset shares HBM with
+    # the activations, so keep the memory-saving setting here (the global
+    # default flipped to False in round 3 for the plain host-fed path)
+    cfg = dataclasses.replace(cfg, batch_size=args.batch_size,
+                              remat_frontend=True)
     mk = dict(n_words=args.n_words, samples_per_word=args.samples_per_word,
               frames=cfg.data.frames, raw_size=cfg.data.raw_size)
     train_ds = SyntheticPatternDataset(split="train", **mk)

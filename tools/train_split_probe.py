@@ -53,6 +53,9 @@ def main():
             frontend=dataclasses.replace(cfg.frontend, dropout=0.0))
     if os.environ.get("NO_REMAT_FRONTEND"):
         cfg = dataclasses.replace(cfg, remat_frontend=False)
+    elif os.environ.get("REMAT_FRONTEND"):
+        # default flipped to False in round 3; knob re-measures the ON case
+        cfg = dataclasses.replace(cfg, remat_frontend=True)
     if os.environ.get("NO_REMAT_DECODER"):
         cfg = dataclasses.replace(cfg, remat_decoder=False)
     B = int(os.environ.get("BENCH_B", "240"))
