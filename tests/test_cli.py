@@ -18,6 +18,19 @@ def test_config_from_args_new_flags():
     assert args.profile_dir is None and args.lrw1000_eval_manifest is None
 
 
+def test_remat_frontend_flag_resolution():
+    """Config default is stored-activations (False); --remat-frontend and
+    --cache-on-device opt back into the recompute-for-memory mode, and an
+    explicit --no-remat-frontend wins over --cache-on-device."""
+    assert config_from_args(_args([])).remat_frontend is False
+    assert config_from_args(_args(["--remat-frontend"])).remat_frontend is True
+    assert config_from_args(
+        _args(["--cache-on-device"])).remat_frontend is True
+    assert config_from_args(
+        _args(["--cache-on-device", "--no-remat-frontend"])
+    ).remat_frontend is False
+
+
 def test_make_datasets_synthetic_val_test_disjoint():
     cfg = C.tiny_test("sbl")
     args = _args(["--synthetic", "--synthetic-size", "8"])
