@@ -169,6 +169,36 @@ def main():
         return (s, b) + args[2:]
 
     rngk = jax.random.PRNGKey(7)
+
+    def prod_t(iters, inner, reps):
+        """Time the PRODUCTION train_step: state chains through itself (the
+        param update is a live output, so nothing needs a DCE anchor) and
+        only the loss scalar is fetched.  The anchored ``full`` job above
+        over-measures by the anchor itself: 288 per-leaf scalar reductions
+        = ~45 ms/iter on the B=240 trace (tools/trace_agg.py)."""
+        import time
+        from tools.tpu_timing import _touch
+        s, m = train_step(state, batch, rngk)
+        _touch(m["loss"])
+        dts, rts = [], []
+        n = 0
+        for r in range(reps):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                for _ in range(inner):
+                    b = dict(batch)
+                    b["clip_u8"] = b["clip_u8"] + np.uint8(n % 251 + 1)
+                    n += 1
+                    s, m = train_step(s, b, rngk)
+                _touch(m["loss"], salt=r + 1)
+            dts.append(time.perf_counter() - t0)
+            t1 = time.perf_counter()
+            for k in range(iters):
+                _touch(m["loss"], salt=k + 1)
+            rts.append(time.perf_counter() - t1)
+        dt = min(dts) / (iters * inner) * 1000.0
+        rt = min(rts) / (iters * inner) * 1000.0
+        return dt - rt
     jobs = [
         ("fwd      ", fwd_only, (state, batch, rngk), perturb_batch),
         ("fwd+bwd  ", fwd_bwd, (state, batch, rngk), perturb_batch),
@@ -190,6 +220,12 @@ def main():
                     reps=int(os.environ.get("REPS", "3")))
         results[name] = ms
         print(f"{name}: {ms:8.2f} ms/iter ({B / ms * 1000:7.1f} clips/s)",
+              flush=True)
+    if not only or "prod" in only:
+        ms = prod_t(iters=int(os.environ.get("ITERS", "4")), inner=4,
+                    reps=int(os.environ.get("REPS", "3")))
+        results["prod step"] = ms
+        print(f"prod step: {ms:8.2f} ms/iter ({B / ms * 1000:7.1f} clips/s)",
               flush=True)
     if not only:
         fwd = results["fwd      "]
