@@ -22,7 +22,7 @@ Design choices for TPU:
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -89,6 +89,54 @@ class GroupedBatchNorm(nn.Module):
         return y.reshape(x.shape)
 
 
+class FastBatchNorm(nn.Module):
+    """``nn.BatchNorm`` drop-in whose train-mode statistics run as one-pass
+    Pallas reductions (ops/batchnorm.py).
+
+    XLA's standalone stat-reduce fusions measured 3-15x over the bandwidth
+    floor at the frontend's shapes (~70 ms of the B=240 train step,
+    tools/trace_agg.py); the custom-VJP path reads each tensor once forward
+    (sum, sum^2) and once backward ((sum dy, sum dy*xhat) == (d_bias,
+    d_scale)) with dx left as a fusable elementwise expression.  Variable
+    layout matches ``nn.BatchNorm`` (params scale/bias, batch_stats
+    mean/var, all f32) so checkpoints interchange; eval mode is the same
+    affine fold and never touches Pallas.
+    """
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    interpret: Optional[bool] = None  # None = auto (interpret off-TPU)
+
+    @nn.compact
+    def __call__(self, x: Array, use_running_average: bool = True) -> Array:
+        features = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (features,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (features,),
+                          jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean", nn.initializers.zeros,
+                                None, (features,), jnp.float32)
+        ra_var = self.variable("batch_stats", "var", nn.initializers.ones,
+                               None, (features,), jnp.float32)
+        if use_running_average or self.is_initializing():
+            mul = jax.lax.rsqrt(ra_var.value + self.epsilon) * scale
+            return ((x.astype(jnp.float32) - ra_mean.value) * mul
+                    + bias).astype(x.dtype)
+        from ..ops.batchnorm import bn_train
+        y, mean, var = bn_train(x, scale, bias, self.epsilon, self.interpret)
+        m = self.momentum
+        ra_mean.value = m * ra_mean.value + (1 - m) * mean
+        ra_var.value = m * ra_var.value + (1 - m) * var
+        return y
+
+
+def _use_fast_bn() -> bool:
+    # real-TPU only, like the stem/attention kernels: the CPU test mesh and
+    # the multichip dryrun take the plain nn.BatchNorm path (tests
+    # monkeypatch this to exercise the wiring in interpret mode)
+    from ..ops.attention import available
+    return available()
+
+
 class BasicBlock(nn.Module):
     """ResNet BasicBlock (reference video_frontend.py:15-41)."""
     filters: int
@@ -104,6 +152,9 @@ class BasicBlock(nn.Module):
     # docstring for the round-3 measurement log)
     use_pallas_resblock: bool = False
     fused_interpret: bool = False  # force interpret mode (CPU tests)
+    # one-pass Pallas train-mode BN statistics (FastBatchNorm); real-TPU
+    # only, falls back to nn.BatchNorm elsewhere
+    use_pallas_bn: bool = True
 
     def _fused_eligible(self, x: Array, train: bool) -> bool:
         if (train or self.stride != 1 or x.shape[-1] != self.filters
@@ -137,6 +188,10 @@ class BasicBlock(nn.Module):
                     self.bn_groups, self.bn_momentum, self.bn_epsilon,
                     name=name)(h, use_running_average=not train).astype(
                         self.dtype)
+            if self.use_pallas_bn and _use_fast_bn():
+                return FastBatchNorm(
+                    self.bn_momentum, self.bn_epsilon, name=name)(
+                        h, use_running_average=not train).astype(self.dtype)
             return nn.BatchNorm(use_running_average=not train,
                                 momentum=self.bn_momentum,
                                 epsilon=self.bn_epsilon,
@@ -177,6 +232,7 @@ class ResNetTrunk(nn.Module):
     remat: bool = False
     bn_groups: int = 1
     use_pallas_resblock: bool = False
+    use_pallas_bn: bool = True
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -188,6 +244,7 @@ class ResNetTrunk(nn.Module):
                 x = block_cls(ch, stride, self.bn_momentum, self.bn_epsilon,
                               self.dtype, self.bn_groups,
                               self.use_pallas_resblock,
+                              use_pallas_bn=self.use_pallas_bn,
                               name=f"layer{stage + 1}_block{b}")(
                     x, train)
         return jnp.mean(x, axis=(1, 2))  # AdaptiveAvgPool2d(1)
@@ -215,6 +272,9 @@ class VisualFrontend(nn.Module):
     # fused Pallas BasicBlock kernel experiment (ops/resblock.py); default
     # OFF -- measured slower than XLA's conv emitter (docstring there)
     use_pallas_resblock: bool = False
+    # one-pass Pallas train-mode BN statistics (ops/batchnorm.py); ~70 ms
+    # of XLA stat-reduce fusions on the B=240 train step
+    use_pallas_bn: bool = True
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False,
@@ -256,6 +316,9 @@ class VisualFrontend(nn.Module):
             x = GroupedBatchNorm(self.bn_groups, self.bn_momentum,
                                  self.bn_epsilon, name="bn3d")(
                 x, use_running_average=not train)
+        elif self.use_pallas_bn and _use_fast_bn():
+            x = FastBatchNorm(self.bn_momentum, self.bn_epsilon,
+                              name="bn3d")(x, use_running_average=not train)
         else:
             x = nn.BatchNorm(use_running_average=not train,
                              momentum=self.bn_momentum,
@@ -271,7 +334,8 @@ class VisualFrontend(nn.Module):
         x = ResNetTrunk(self.resnet_channels, self.resnet_blocks,
                         self.bn_momentum, self.bn_epsilon, self.dtype,
                         self.remat, self.bn_groups,
-                        self.use_pallas_resblock, name="resnet")(
+                        self.use_pallas_resblock,
+                        use_pallas_bn=self.use_pallas_bn, name="resnet")(
             x, train=train)
         x = nn.Dropout(self.dropout, name="feat_drop")(
             x, deterministic=deterministic)
