@@ -132,9 +132,15 @@ class FastBatchNorm(nn.Module):
 def _use_fast_bn() -> bool:
     # real-TPU only, like the stem/attention kernels: the CPU test mesh and
     # the multichip dryrun take the plain nn.BatchNorm path (tests
-    # monkeypatch this to exercise the wiring in interpret mode)
+    # monkeypatch this to exercise the wiring in interpret mode).
+    # PALLAS_BN=1 forces the (default-off) kernel on for re-measurement.
     from ..ops.attention import available
     return available()
+
+
+def _pallas_bn_on(field: bool) -> bool:
+    import os
+    return (field or bool(os.environ.get("PALLAS_BN"))) and _use_fast_bn()
 
 
 class BasicBlock(nn.Module):
@@ -152,9 +158,9 @@ class BasicBlock(nn.Module):
     # docstring for the round-3 measurement log)
     use_pallas_resblock: bool = False
     fused_interpret: bool = False  # force interpret mode (CPU tests)
-    # one-pass Pallas train-mode BN statistics (FastBatchNorm); real-TPU
-    # only, falls back to nn.BatchNorm elsewhere
-    use_pallas_bn: bool = True
+    # one-pass Pallas train-mode BN statistics (FastBatchNorm); default OFF
+    # -- measured a net LOSS (see VisualFrontend.use_pallas_bn)
+    use_pallas_bn: bool = False
 
     def _fused_eligible(self, x: Array, train: bool) -> bool:
         if (train or self.stride != 1 or x.shape[-1] != self.filters
@@ -188,7 +194,7 @@ class BasicBlock(nn.Module):
                     self.bn_groups, self.bn_momentum, self.bn_epsilon,
                     name=name)(h, use_running_average=not train).astype(
                         self.dtype)
-            if self.use_pallas_bn and _use_fast_bn():
+            if _pallas_bn_on(self.use_pallas_bn):
                 return FastBatchNorm(
                     self.bn_momentum, self.bn_epsilon, name=name)(
                         h, use_running_average=not train).astype(self.dtype)
@@ -232,7 +238,7 @@ class ResNetTrunk(nn.Module):
     remat: bool = False
     bn_groups: int = 1
     use_pallas_resblock: bool = False
-    use_pallas_bn: bool = True
+    use_pallas_bn: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -272,9 +278,18 @@ class VisualFrontend(nn.Module):
     # fused Pallas BasicBlock kernel experiment (ops/resblock.py); default
     # OFF -- measured slower than XLA's conv emitter (docstring there)
     use_pallas_resblock: bool = False
-    # one-pass Pallas train-mode BN statistics (ops/batchnorm.py); ~70 ms
-    # of XLA stat-reduce fusions on the B=240 train step
-    use_pallas_bn: bool = True
+    # one-pass Pallas train-mode BN statistics (ops/batchnorm.py).  Default
+    # OFF: measured a NET LOSS on the B=240 train step (device busy 782.7
+    # vs 656.8 ms/iter, tools/train_trace_probe.py + trace_agg 2026-08-18).
+    # The ~45 ms of XLA stat-reduce overshoot it targets is more than
+    # repaid by (a) +73 ms of relayout copies -- the trunk convs emit
+    # lanes=N layouts and Mosaic custom calls require the default layout,
+    # so every Pallas consumer of a conv output pays a whole-tensor copy
+    # (same root cause as the rejected ops/resblock.py kernel) -- and (b)
+    # the kernels' own grid overhead at C=64 (lane pad to 128 + batch-block
+    # divisibility -> 870+ sequential blocks/call, ~3x over floor).
+    # PALLAS_BN=1 in tools/train_split_probe.py re-measures.
+    use_pallas_bn: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False,
@@ -316,7 +331,7 @@ class VisualFrontend(nn.Module):
             x = GroupedBatchNorm(self.bn_groups, self.bn_momentum,
                                  self.bn_epsilon, name="bn3d")(
                 x, use_running_average=not train)
-        elif self.use_pallas_bn and _use_fast_bn():
+        elif _pallas_bn_on(self.use_pallas_bn):
             x = FastBatchNorm(self.bn_momentum, self.bn_epsilon,
                               name="bn3d")(x, use_running_average=not train)
         else:

@@ -15,6 +15,18 @@ around two one-pass Pallas reduction kernels:
   (sum_dy, sum_dy_xhat), which are exactly d_bias and d_scale; dx is then
   a closed-form elementwise expression (fuses into the conv backward).
 
+VERDICT (2026-08-18, default OFF): a net LOSS end-to-end -- device busy
+782.7 vs 656.8 ms/iter on the B=240 train step (tools/train_trace_probe.py
++ trace_agg).  The removed XLA reductions (~45 ms) are more than repaid by
++73 ms of whole-tensor relayout copies: XLA's trunk convs emit lanes=N
+layouts and Mosaic custom calls only accept the default layout, so every
+Pallas consumer of a conv output forces a copy (the same wall the fused
+resblock kernel hit, ops/resblock.py).  The kernels themselves also ran
+~3x over the bandwidth floor at C=64: the lane pad to 128 wastes half of
+VMEM and the batch-block divisibility constraint shrinks blocks to ~2 MB
+(870+ sequential grid steps per call).  Kept with tests as the measured
+experiment; PALLAS_BN=1 re-enables for probes (models/frontend.py).
+
 Numerics match ``nn.BatchNorm(dtype=f32)`` + cast: statistics and the
 normalize run in float32 regardless of input dtype, variance is the biased
 ``E[x^2] - E[x]^2`` (flax semantics), and the output casts back to the
