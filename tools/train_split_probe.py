@@ -173,9 +173,13 @@ def main():
     def prod_t(iters, inner, reps):
         """Time the PRODUCTION train_step: state chains through itself (the
         param update is a live output, so nothing needs a DCE anchor) and
-        only the loss scalar is fetched.  The anchored ``full`` job above
-        over-measures by the anchor itself: 288 per-leaf scalar reductions
-        = ~45 ms/iter on the B=240 trace (tools/trace_agg.py)."""
+        only the loss scalar is fetched.  MEASURED (calm, 2026-08-18):
+        435.9 ms vs the anchored ``full`` job's 427.0 @B=240 -- the anchor
+        does NOT inflate the reading (XLA fuses its per-leaf reductions
+        into the update epilogues and in exchange skips materializing the
+        ~560 MB of new param/opt buffers the chained mode must write), so
+        both protocols agree within run noise and cross-validate the
+        563 clips/s number."""
         import time
         from tools.tpu_timing import _touch
         s, m = train_step(state, batch, rngk)
