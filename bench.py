@@ -39,6 +39,12 @@ def main():
     from sbl_for_multilingual_lip_reading_tpu import config as C
     from sbl_for_multilingual_lip_reading_tpu.data.pipeline import device_ingest
     from sbl_for_multilingual_lip_reading_tpu.models import build_model
+    from sbl_for_multilingual_lip_reading_tpu.utils.compile_cache import (
+        enable_compile_cache)
+
+    # persistent compile cache: re-runs skip the ~6 min full-dims compile;
+    # affects compile time only, never the measured execution
+    enable_compile_cache()
 
     cfg = C.sbl()
     on_tpu = jax.default_backend() == "tpu"

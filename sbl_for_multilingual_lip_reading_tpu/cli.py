@@ -97,6 +97,12 @@ def build_argparser() -> argparse.ArgumentParser:
                         "16 GB chip without it and trains ~6%% faster) -- "
                         "turn on to reclaim activation HBM, e.g. with "
                         "--cache-on-device datasets or larger batches")
+    p.add_argument("--compile-cache", type=str, default=None,
+                   help="persistent XLA compilation-cache dir (default "
+                        "~/.cache/sbl_tpu_xla or $SBL_COMPILE_CACHE; 'none' "
+                        "disables).  Full-dims graphs compile in 1-6 min "
+                        "on the TPU; re-runs load from this cache in "
+                        "seconds")
     return p
 
 
@@ -222,6 +228,8 @@ def _maybe_force_cpu(args) -> None:
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
+    from .utils.compile_cache import enable_compile_cache
+    enable_compile_cache(args.compile_cache)
 
 
 def run_train(argv=None) -> None:

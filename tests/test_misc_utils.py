@@ -138,3 +138,29 @@ def test_trainer_nan_guard():
     tr.train_step = lambda s, b, r: (s, {"loss": np.float32("nan")})
     with pytest.raises(FloatingPointError):
         tr.train_epoch(0, max_steps=1)
+
+
+def test_compile_cache_helper(tmp_path):
+    import jax
+    from sbl_for_multilingual_lip_reading_tpu.utils.compile_cache import (
+        enable_compile_cache)
+    # disabling strings resolve to None and leave config untouched
+    assert enable_compile_cache("none") is None
+    assert enable_compile_cache("off") is None
+    d = str(tmp_path / "xla_cache")
+    assert enable_compile_cache(d) == d
+    assert jax.config.jax_compilation_cache_dir == d
+    import os
+    assert os.path.isdir(d)
+
+
+def test_compile_cache_cli_flag(tmp_path, monkeypatch):
+    from sbl_for_multilingual_lip_reading_tpu.cli import build_argparser
+    args = build_argparser().parse_args(
+        ["--compile-cache", "none", "--cpu"])
+    assert args.compile_cache == "none"
+    # default resolves via SBL_COMPILE_CACHE
+    monkeypatch.setenv("SBL_COMPILE_CACHE", str(tmp_path / "envcache"))
+    from sbl_for_multilingual_lip_reading_tpu.utils.compile_cache import (
+        enable_compile_cache)
+    assert enable_compile_cache(None) == str(tmp_path / "envcache")
