@@ -65,13 +65,14 @@ def _ingest_eval(batch, crop: int, dtype):
                          n_frames=batch.get("n_frames"))
 
 
-def make_sbl_train_step(model, tx, cfg) -> Callable:
+def make_sbl_train_step(model, tx, cfg, donate: bool = False) -> Callable:
     freeze = tuple(getattr(cfg, "freeze_prefixes", ()) or ())
     crop = cfg.data.crop_size
     dtype = jnp.dtype(cfg.compute_dtype)
     smoothing = cfg.optim.label_smoothing
 
-    @jax.jit
+    @functools.partial(jax.jit,
+                       donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, dict]:
         rng = jax.random.fold_in(rng, state.step)
         drop_rng, teach_rng = jax.random.split(rng)
@@ -115,13 +116,14 @@ def make_sbl_eval_step(model, cfg) -> Callable:
     return eval_step
 
 
-def make_uni_train_step(model, tx, cfg) -> Callable:
+def make_uni_train_step(model, tx, cfg, donate: bool = False) -> Callable:
     freeze = tuple(getattr(cfg, "freeze_prefixes", ()) or ())
     crop = cfg.data.crop_size
     dtype = jnp.dtype(cfg.compute_dtype)
     smoothing = cfg.optim.label_smoothing
 
-    @jax.jit
+    @functools.partial(jax.jit,
+                       donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
         video = _ingest_train(batch, crop, dtype)
@@ -158,13 +160,14 @@ def make_uni_eval_step(model, cfg) -> Callable:
     return eval_step
 
 
-def make_classify_train_step(model, tx, cfg) -> Callable:
+def make_classify_train_step(model, tx, cfg, donate: bool = False) -> Callable:
     freeze = tuple(getattr(cfg, "freeze_prefixes", ()) or ())
     crop = cfg.data.crop_size
     dtype = jnp.dtype(cfg.compute_dtype)
     lw = cfg.language_loss_weight
 
-    @jax.jit
+    @functools.partial(jax.jit,
+                       donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
         video = _ingest_train(batch, crop, dtype)

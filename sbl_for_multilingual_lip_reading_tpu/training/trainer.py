@@ -165,14 +165,25 @@ class Trainer:
             self.state = self.state.replace(
                 params=shard_params(self.state.params, self.mesh),
                 batch_stats=shard_params(self.state.batch_stats, self.mesh))
+        # donate the input state so params + optimizer moments update
+        # in-place (~560 MB of HBM at full dims that would otherwise be
+        # double-buffered across the step).  Safe here: the epoch loop
+        # rebinds self.state from the step's return and never touches the
+        # old tree.  TPU-only -- the CPU backend ignores donation with a
+        # warning, and probes/tests that re-call a step on the same state
+        # construct their own non-donating steps.
+        donate = jax.default_backend() == "tpu"
         if cfg.name == "classify":
-            self.train_step = make_classify_train_step(self.model, self.tx, cfg)
+            self.train_step = make_classify_train_step(self.model, self.tx,
+                                                       cfg, donate=donate)
             self.eval_step = make_classify_eval_step(self.model, cfg)
         elif cfg.decoder.bidirectional:
-            self.train_step = make_sbl_train_step(self.model, self.tx, cfg)
+            self.train_step = make_sbl_train_step(self.model, self.tx, cfg,
+                                                  donate=donate)
             self.eval_step = make_sbl_eval_step(self.model, cfg)
         else:
-            self.train_step = make_uni_train_step(self.model, self.tx, cfg)
+            self.train_step = make_uni_train_step(self.model, self.tx, cfg,
+                                                  donate=donate)
             self.eval_step = make_uni_eval_step(self.model, cfg)
         self.train_dataset = train_dataset
         self.valid_datasets = valid_datasets or {}

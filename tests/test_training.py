@@ -133,3 +133,36 @@ def test_device_cache_epoch_matches_host_path():
         losses.append(tr.train_epoch(0))
     assert np.isfinite(losses[0])
     np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
+
+
+def test_donating_train_step_chains():
+    """Trainer donates the input state on TPU (steps.py donate=True): the
+    step must be re-callable chained through its own output.  On the CPU
+    backend donation is ignored with a warning; this pins the wiring and
+    the chained-usage contract either way."""
+    import warnings
+    from sbl_for_multilingual_lip_reading_tpu.models import build_model
+    from sbl_for_multilingual_lip_reading_tpu.training.steps import (
+        make_sbl_train_step)
+    from sbl_for_multilingual_lip_reading_tpu.training.trainer import (
+        init_state)
+    cfg = C.tiny_test("sbl")
+    model = build_model(cfg)
+    state, tx = init_state(model, cfg, jax.random.PRNGKey(0))
+    step = make_sbl_train_step(model, tx, cfg, donate=True)
+    ds = _dataset(cfg, size=4)
+    from sbl_for_multilingual_lip_reading_tpu.data.pipeline import Batcher
+    from sbl_for_multilingual_lip_reading_tpu.training.trainer import (
+        attach_plans)
+    batch = next(iter(Batcher(ds, batch_size=2, shuffle=False)))
+    batch = attach_plans(batch, np.random.default_rng(0), cfg, train=True)
+    batch = {k: jax.numpy.asarray(v) for k, v in batch.items()
+             if k in ("clip_u8", "labels", "labels_reverse", "offsets",
+                      "flip", "frame_map")}
+    rng = jax.random.PRNGKey(1)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # cpu "donation not implemented"
+        s1, m1 = step(state, batch, rng)
+        s2, m2 = step(s1, batch, rng)
+    assert int(s2.step) == 2
+    assert np.isfinite(float(m2["loss"]))
