@@ -181,6 +181,72 @@ def make_train_plan(rng: np.random.Generator, frames: int, raw: int,
     return AugPlan(offsets=offs, flip=flip, frame_map=fmap)
 
 
+def make_train_plans(rng: np.random.Generator, batch: int, frames: int,
+                     raw: int, crop: int, frame_removal_p: float = 0.05,
+                     per_frame_mask: Optional[np.ndarray] = None,
+                     clip_hi: Optional[np.ndarray] = None,
+                     random_drop_p: float = 0.0
+                     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batched ``make_train_plan``: one vectorized draw for the whole batch.
+
+    The per-sample builder costs ~0.5 ms of host python per clip -- ~130 ms
+    per B=240 step on a 1-core host, which measured as the gap between the
+    427 ms device step and the ~650 ms wall trainer loop
+    (tools/trainer_rate_probe.py).  Same augmentation semantics, different
+    RNG consumption order (each protocol is ours to define; the reference
+    uses python ``random`` per frame).
+
+    per_frame_mask: (B,) bool -- rows drawing per-frame crop offsets in
+      [0, raw-crop] (the LRW RandomCrop protocol); other rows draw one
+      per-clip offset (LRW-1000 load_images).  Default all-true.
+    clip_hi: (B,) int -- per-clip max offset for the non-per-frame rows
+      (reference border: (raw-crop)//2).  Default raw-crop.
+
+    Returns (offsets (B,T,2) i32, flip (B,) bool, frame_map (B,T) i32).
+    """
+    B, T = batch, frames
+    hi = raw - crop
+    if per_frame_mask is None:
+        per_frame_mask = np.ones(B, dtype=bool)
+    if clip_hi is None:
+        clip_hi = np.full(B, hi, dtype=np.int64)
+    offs = rng.integers(0, hi + 1, size=(B, T, 2)).astype(np.int32)
+    offs_clip = rng.integers(
+        0, np.asarray(clip_hi).reshape(B, 1, 1) + 1,
+        size=(B, 1, 2)).astype(np.int32)
+    offs = np.where(per_frame_mask[:, None, None], offs,
+                    np.broadcast_to(offs_clip, (B, T, 2)))
+    flip = rng.random(B) < 0.5
+    # FrameRemoval (data_gen.py:104-108): frame i w.p. p becomes a copy of
+    # the previous KEPT frame -> frame_map = running max of kept indices
+    drop = rng.random((B, T)) < frame_removal_p
+    drop[:, 0] = False                      # reference loop starts at 1
+    idx = np.broadcast_to(np.arange(T, dtype=np.int32), (B, T))
+    fmap = np.maximum.accumulate(np.where(drop, np.int32(-1), idx), axis=1)
+    fmap = fmap.astype(np.int32)
+    # removal happens after crop: duplicated frames reuse the source's crop
+    offs = np.take_along_axis(offs, fmap[..., None], axis=1)
+    if random_drop_p > 0.0:
+        # RandomDrop (LRW cvtransforms.py:32-41): frame j drops iff its
+        # coin lands AND the number of drops before j is within the cap.
+        # While under the cap every candidate IS a drop, so "drops before
+        # j" == "candidates before j" exactly on the frames that matter:
+        # candidate j is real iff (#candidates before j) <= cap.
+        cap = min(10.0, 0.2 * T)
+        cand = rng.random((B, T)) <= random_drop_p
+        before = np.cumsum(cand, axis=1) - cand
+        dropd = cand & (before <= cap)
+        keep = ~dropd
+        order = np.argsort(dropd, axis=1, kind="stable")  # kept first
+        packed = np.take_along_axis(idx, order, axis=1)
+        k = keep.sum(axis=1)                # >=1: cap < T for all real T
+        pos = np.minimum(idx, np.maximum(k - 1, 0)[:, None])
+        dmap = np.take_along_axis(packed, pos, axis=1).astype(np.int32)
+        fmap = np.take_along_axis(fmap, dmap, axis=1)
+        offs = np.take_along_axis(offs, dmap[..., None], axis=1)
+    return offs, flip, fmap
+
+
 def make_eval_plan(frames: int, raw: int, crop: int) -> AugPlan:
     c = int(round((raw - crop) / 2.0))
     offs = np.full((frames, 2), c, dtype=np.int32)

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.pipeline import Batcher, prefetch_to_device
-from ..data.transforms import make_train_plan
+from ..data.transforms import make_train_plans
 from ..models import build_model
 from ..utils.logging import get_logger
 from ..utils.metrics import AverageMeter, per_compute, wer_compute
@@ -52,18 +52,19 @@ def attach_plans(batch: Dict, rng: np.random.Generator, cfg,
     if train:
         lang = np.asarray(batch.get("lang_id", np.zeros(B, np.int32)))
         per_clip = cfg.data.per_clip_crop       # LRW-project protocol
-        plans = [
-            make_train_plan(rng, T, raw, crop, cfg.data.frame_removal_p,
-                            per_frame_offsets=(lang[i] == 0 and not per_clip),
-                            max_offset=(None if (lang[i] == 0 or per_clip)
-                                        else (raw - crop) // 2),
-                            random_drop_p=cfg.data.random_drop_p)
-            for i in range(B)
-        ]
+        # one vectorized draw for the whole batch (make_train_plans): the
+        # per-sample python builder cost ~130 ms/step @B=240 on a 1-core
+        # host -- bigger than any device-side win it gates
+        per_frame = (lang == 0) & (not per_clip)
+        clip_hi = np.where(lang == 0, raw - crop, (raw - crop) // 2)
+        offsets, flip, fmap = make_train_plans(
+            rng, B, T, raw, crop, cfg.data.frame_removal_p,
+            per_frame_mask=per_frame, clip_hi=clip_hi,
+            random_drop_p=cfg.data.random_drop_p)
         batch = dict(batch)
-        batch["offsets"] = np.stack([p.offsets for p in plans])
-        batch["flip"] = np.array([p.flip for p in plans])
-        batch["frame_map"] = np.stack([p.frame_map for p in plans])
+        batch["offsets"] = offsets
+        batch["flip"] = flip
+        batch["frame_map"] = fmap
     return batch
 
 
@@ -278,6 +279,36 @@ class Trainer:
             from ..parallel import batch_sharding
             sharding = batch_sharding(self.mesh)
         tracing = False
+        n_batches_hint = (len(self.train_dataset) // self.cfg.batch_size)
+
+        def consume(prev):
+            # fetch the PREVIOUS step's metrics: its loss is already
+            # computed while the current step executes, so the tunnel's
+            # fetch round trip (~45-60 ms) overlaps device compute instead
+            # of serializing every step (the reference logs per batch by
+            # blocking on .item(); here logging lags one step instead)
+            i, step_no, metrics = prev
+            loss = float(metrics["loss"])
+            if self.halt_on_nan and not np.isfinite(loss):
+                raise FloatingPointError(
+                    f"non-finite loss {loss} at step {step_no} "
+                    f"(epoch {epoch}, batch {i}); metrics="
+                    f"{ {k: float(v) for k, v in metrics.items()} }")
+            losses.update(loss)
+            if self.writer is not None:
+                self.writer.add_scalar("train/loss", loss, step_no)
+            if i % 50 == 0:
+                n_batches = (len(batcher) if batcher is not None
+                             else n_batches_hint)
+                self.logger.info(
+                    f"Epoch: [{epoch}][{i}/{n_batches}]\t"
+                    f"Loss {losses.val:.5f} ({losses.avg:.5f})\t"
+                    f"{self.timer.clips_per_sec:.1f} clips/s")
+
+        pending = None
+        # host-side step counter: int(self.state.step) inside the loop
+        # would block on the just-dispatched step and re-serialize it
+        base_step = int(self.state.step)
         try:
             for i, batch in enumerate(prefetch_to_device(it, sharding=sharding)):
                 if max_steps is not None and i >= max_steps:
@@ -289,29 +320,17 @@ class Trainer:
                 with self.timer.step():
                     self.state, metrics = self.train_step(self.state, batch,
                                                           self.rng)
-                    loss = float(metrics["loss"])  # blocks: real step time
+                    if pending is not None:
+                        consume(pending)
+                    pending = (i, base_step + i + 1, metrics)
                 if tracing and i >= 3:
                     jax.profiler.stop_trace()
                     tracing = False
                     self.logger.info(f"profiler trace written to "
                                      f"{self.profile_dir}")
-                if self.halt_on_nan and not np.isfinite(loss):
-                    raise FloatingPointError(
-                        f"non-finite loss {loss} at step {int(self.state.step)} "
-                        f"(epoch {epoch}, batch {i}); metrics="
-                        f"{ {k: float(v) for k, v in metrics.items()} }")
-                losses.update(loss)
-                if self.writer is not None:
-                    self.writer.add_scalar("train/loss", loss,
-                                           int(self.state.step))
-                if i % 50 == 0:
-                    n_batches = (len(batcher) if batcher is not None else
-                                 len(self.train_dataset)
-                                 // self.cfg.batch_size)
-                    self.logger.info(
-                        f"Epoch: [{epoch}][{i}/{n_batches}]\t"
-                        f"Loss {losses.val:.5f} ({losses.avg:.5f})\t"
-                        f"{self.timer.clips_per_sec:.1f} clips/s")
+            if pending is not None:
+                consume(pending)
+                pending = None
         finally:
             if tracing:
                 jax.profiler.stop_trace()

@@ -475,3 +475,69 @@ def test_real_datasets_respect_workload_vocab(tmp_path):
     ds3 = Lrw1000Dataset(str(tmp_path / "images"), str(man), frames=4,
                          raw_size=16)
     assert not np.array_equal(ds3[0]["labels"], lab2)
+
+
+def test_make_train_plans_batched_structure():
+    """The vectorized batch builder must produce plans with the exact
+    semantics of per-sample make_train_plan: offset ranges per protocol,
+    FrameRemoval as a running-max gather carrying its source's crop, and
+    flip ~ Bernoulli(0.5)."""
+    rng = np.random.default_rng(0)
+    B, Tn, raw, crop = 64, 29, 96, 88
+    lang = (np.arange(B) % 2).astype(np.int32)    # half LRW, half LRW-1000
+    per_frame = lang == 0
+    clip_hi = np.where(lang == 0, raw - crop, (raw - crop) // 2)
+    offs, flip, fmap = T.make_train_plans(
+        rng, B, Tn, raw, crop, frame_removal_p=0.3,
+        per_frame_mask=per_frame, clip_hi=clip_hi)
+    assert offs.shape == (B, Tn, 2) and fmap.shape == (B, Tn)
+    assert offs.dtype == np.int32 and fmap.dtype == np.int32
+    # LRW-1000 rows: ONE offset per clip, bounded by the jpg border 4
+    for b in np.flatnonzero(lang == 1):
+        assert np.all(offs[b] == offs[b, 0])
+        assert 0 <= offs[b, 0, 0] <= 4 and 0 <= offs[b, 0, 1] <= 4
+    # LRW rows: per-frame offsets in [0, 8]; with p=0.3 some frames repeat
+    lrw = offs[lang == 0]
+    assert lrw.min() >= 0 and lrw.max() <= raw - crop
+    # frame_map: valid running-max (non-decreasing, fmap[t] <= t, 0 first)
+    assert np.all(fmap[:, 0] == 0)
+    assert np.all(np.diff(fmap, axis=1) >= 0)
+    assert np.all(fmap <= np.arange(Tn))
+    assert 0.2 < float(np.mean(fmap[:, 1:] == fmap[:, :-1])) < 0.4
+    # duplicated frames carry the source frame's crop offsets: the offsets
+    # are already gathered through fmap, so re-gathering is a no-op
+    regath = np.take_along_axis(offs, fmap[..., None], axis=1)
+    np.testing.assert_array_equal(regath, offs)
+    assert 0.3 < flip.mean() < 0.7
+
+
+def test_make_train_plans_random_drop_matches_sequential():
+    """p=1.0 makes RandomDrop deterministic (every coin is a candidate, the
+    cap truncates): the batched cap-prefix construction must equal the
+    sequential reference scan exactly."""
+    Tn = 29
+    expect = T.random_drop_map(np.random.default_rng(0), Tn, p=1.0)
+    rng = np.random.default_rng(1)
+    offs, flip, fmap = T.make_train_plans(
+        rng, 4, Tn, 96, 88, frame_removal_p=0.0, random_drop_p=1.0)
+    for b in range(4):
+        np.testing.assert_array_equal(fmap[b], expect)
+    # and p->0 keeps the identity map
+    offs, _, fmap0 = T.make_train_plans(
+        np.random.default_rng(2), 4, Tn, 96, 88, frame_removal_p=0.0,
+        random_drop_p=1e-12)
+    np.testing.assert_array_equal(fmap0, np.broadcast_to(np.arange(Tn),
+                                                         (4, Tn)))
+
+
+def test_make_train_plans_drop_rate_matches_sequential():
+    """Statistical parity of the batched RandomDrop with the sequential
+    scan at the production p (same mean kept-length behavior)."""
+    Tn, p, n = 29, 0.2, 400
+    rng = np.random.default_rng(3)
+    seq = np.array([len(np.unique(T.random_drop_map(rng, Tn, p=p)))
+                    for _ in range(n)], np.float64)
+    _, _, fmap = T.make_train_plans(np.random.default_rng(4), n, Tn, 96, 88,
+                                    frame_removal_p=0.0, random_drop_p=p)
+    bat = np.array([len(np.unique(r)) for r in fmap], np.float64)
+    assert abs(seq.mean() - bat.mean()) < 0.5, (seq.mean(), bat.mean())

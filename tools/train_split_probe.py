@@ -66,7 +66,11 @@ def main():
     smoothing = cfg.optim.label_smoothing
 
     state, tx = init_state(model, cfg, rng)
-    train_step = make_sbl_train_step(model, tx, cfg)
+    # DONATE=1: measure the donating executable (Trainer default on TPU).
+    # Only meaningful with JOBS=prod -- the anchored jobs re-call on the
+    # same state, which a donating step forbids.
+    train_step = make_sbl_train_step(model, tx, cfg,
+                                     donate=bool(os.environ.get("DONATE")))
 
     rng_np = np.random.default_rng(0)
     batch = {
