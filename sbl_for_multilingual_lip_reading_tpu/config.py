@@ -63,6 +63,10 @@ class DecoderConfig:
     # ~3 min extra compile.  Results are bit-identical at any segment count
     # (test_decode_segments_equivalent).
     decode_segments: int = 8
+    # lax.scan unroll factor for the decode loop (decoder_sbl.SBLDecoder
+    # .scan_unroll): >1 fuses consecutive steps' dW-accumulator updates in
+    # the training backward at the cost of a larger compiled scan body.
+    scan_unroll: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

@@ -293,6 +293,12 @@ class SBLDecoder(nn.Module):
     # number of growing-buffer scan segments (see _segments); 1 = single
     # full-width scan
     decode_segments: int = 4
+    # lax.scan unroll factor for the decode loop.  >1 lets XLA fuse
+    # consecutive steps' parameter-gradient accumulator updates (the
+    # backward's dW += dot(...) read-modify-write passes, ~21 ms/step of
+    # f32 traffic at B=240) at the cost of a proportionally larger scan
+    # body to compile.  1 = plain while loop (default).
+    scan_unroll: int = 1
 
     def setup(self):
         step_cls = _SBLStep
@@ -306,6 +312,7 @@ class SBLDecoder(nn.Module):
             split_rngs={"params": False, "dropout": True},
             in_axes=(nn.broadcast, nn.broadcast, 0),
             out_axes=0,
+            unroll=self.scan_unroll,
         )
         self.step = scan_cls(
             self.vocab_size, self.d_model, self.n_layers, self.n_head,

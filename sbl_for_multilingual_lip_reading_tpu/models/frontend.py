@@ -344,8 +344,11 @@ class VisualFrontend(nn.Module):
         # so with time already folded into batch, pool in 2-D: identical
         # math, and it spares XLA a 5-D layout that tile-pads the (B, T)
         # dims 4x (observed 15 GB for a 3.5 GB tensor at batch 256).
-        x = nn.max_pool(x, window_shape=(3, 3), strides=(2, 2),
-                        padding=((1, 1), (1, 1)))
+        # stem_max_pool additionally swaps the backward's
+        # select_and_scatter for a scatter-free packed-argmax route
+        # (ops/maxpool.py; bit-identical gradients, tested).
+        from ..ops.maxpool import stem_max_pool
+        x = stem_max_pool(x)
         x = ResNetTrunk(self.resnet_channels, self.resnet_blocks,
                         self.bn_momentum, self.bn_epsilon, self.dtype,
                         self.remat, self.bn_groups,

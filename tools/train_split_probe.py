@@ -12,7 +12,8 @@ Measures, at the reference batch (default 240, dropout active):
   update     ~= full - fwd+bwd;   bwd ~= fwd+bwd - fwd
 plus an attribution split: frontend-only and decoder-only fwd+bwd.
 
-Env: BENCH_B, NO_PALLAS_ATTN=1 (einsum-path ablation), DROPOUT0=1.
+Env: BENCH_B, NO_PALLAS_ATTN=1 (einsum-path ablation), DROPOUT0=1,
+SCAN_UNROLL=k (decoder scan unroll factor).
 Usage: python tools/train_split_probe.py
 """
 from __future__ import annotations
@@ -58,6 +59,9 @@ def main():
         cfg = dataclasses.replace(cfg, remat_frontend=True)
     if os.environ.get("NO_REMAT_DECODER"):
         cfg = dataclasses.replace(cfg, remat_decoder=False)
+    if os.environ.get("SCAN_UNROLL"):
+        cfg = dataclasses.replace(cfg, decoder=dataclasses.replace(
+            cfg.decoder, scan_unroll=int(os.environ["SCAN_UNROLL"])))
     B = int(os.environ.get("BENCH_B", "240"))
     model = build_model(cfg)
     rng = jax.random.PRNGKey(0)
