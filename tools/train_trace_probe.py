@@ -52,6 +52,9 @@ def main():
         B = int(os.environ.get("BENCH_B", "240"))
     if os.environ.get("REMAT_FRONTEND"):
         cfg = dataclasses.replace(cfg, remat_frontend=True)
+    if os.environ.get("SCAN_UNROLL"):
+        cfg = dataclasses.replace(cfg, decoder=dataclasses.replace(
+            cfg.decoder, scan_unroll=int(os.environ["SCAN_UNROLL"])))
     model = build_model(cfg)
     rng = jax.random.PRNGKey(0)
     T, raw, crop = cfg.data.frames, cfg.data.raw_size, cfg.data.crop_size
