@@ -31,8 +31,6 @@ tests/test_maxpool.py).
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
@@ -55,7 +53,9 @@ def _monotonic_int(x: Array) -> Array:
 
 
 def _pool_fwd_raw(x: Array) -> Array:
-    init = (jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating)
+    # -inf (not finfo.min) so an all--inf window reduces to -inf exactly
+    # like nn.max_pool; bf16/f16 both represent inf.
+    init = (-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
             else jnp.iinfo(x.dtype).min)
     return jax.lax.reduce_window(
         x, jnp.asarray(init, x.dtype), jax.lax.max,

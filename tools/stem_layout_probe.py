@@ -38,6 +38,10 @@ def identity_pin(v, batch_axis):
     default layouts), standing in for the real stem-stack kernel."""
     from jax.experimental import pallas as pl
     n = v.shape[batch_axis]
+    assert n % 64 == 0, (
+        f"batch dim {n} not a multiple of the 64-row block: the tail block "
+        f"would never be written and the timed conv would read garbage -- "
+        f"pick BENCH_B so B*30 % 64 == 0")
     grid = (n // 64,)
     block = tuple(64 if a == batch_axis else d for a, d in enumerate(v.shape))
 
