@@ -28,6 +28,31 @@ Array = jnp.ndarray
 NEG_INF = -1e9
 
 
+def _advance(tokens: Array, scores: Array, finished: Array, logp: Array,
+             step: Array, last: Array, bigram_logp: Optional[Array],
+             eos_id: int):
+    """One frontier step shared by the cached and uncached beams: bigram
+    bias, finished-hypothesis freezing (eos-only zero-cost continuation),
+    (B, K*V) top-k, parent gather, token write at ``step + 1``.  Returns
+    (tokens, scores, finished, parent)."""
+    B, K, _ = tokens.shape
+    V = logp.shape[-1]
+    if bigram_logp is not None:
+        logp = logp + bigram_logp[last]
+    # finished hyps: freeze score, only eos continuation allowed
+    eos_only = jnp.full((V,), NEG_INF).at[eos_id].set(0.0)
+    logp = jnp.where(finished[..., None], eos_only[None, None, :], logp)
+    cand = scores[..., None] + logp                      # (B, K, V)
+    new_scores, idx = jax.lax.top_k(cand.reshape(B, K * V), K)
+    parent = idx // V
+    tok = (idx % V).astype(jnp.int32)
+    tokens = jnp.take_along_axis(tokens, parent[..., None], axis=1)
+    tokens = jax.lax.dynamic_update_slice_in_dim(
+        tokens, tok[..., None], step + 1, axis=2)
+    finished = jnp.take_along_axis(finished, parent, axis=1) | (tok == eos_id)
+    return tokens, new_scores, finished, parent
+
+
 def beam_search(step_fn: Callable[[Array, Array], Array],
                 enc_output: Array, beam_size: int, maxlen: int,
                 vocab_size: int,
@@ -58,26 +83,59 @@ def beam_search(step_fn: Callable[[Array, Array], Array],
         tokens, scores, finished = carry
         logits = step_fn(tokens.reshape(B * K, L), step).reshape(B, K, V)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        if bigram_logp is not None:
-            last = jnp.take_along_axis(tokens, jnp.full((B, K, 1), 0, jnp.int32)
-                                       + step, axis=2)[..., 0]
-            logp = logp + bigram_logp[last]
-        # finished hyps: freeze score, only eos continuation allowed
-        eos_only = jnp.full((V,), NEG_INF).at[eos_id].set(0.0)
-        logp = jnp.where(finished[..., None], eos_only[None, None, :], logp)
-        cand = scores[..., None] + logp                      # (B, K, V)
-        flat = cand.reshape(B, K * V)
-        new_scores, idx = jax.lax.top_k(flat, K)             # (B, K)
-        parent = idx // V
-        tok = (idx % V).astype(jnp.int32)
-        tokens = jnp.take_along_axis(tokens, parent[..., None], axis=1)
-        tokens = jax.lax.dynamic_update_slice_in_dim(
-            tokens, tok[..., None], step + 1, axis=2)
-        finished = jnp.take_along_axis(finished, parent, axis=1) | (tok == eos_id)
-        return (tokens, new_scores, finished), None
+        last = jnp.take_along_axis(tokens, jnp.full((B, K, 1), 0, jnp.int32)
+                                   + step, axis=2)[..., 0]
+        tokens, scores, finished, _ = _advance(
+            tokens, scores, finished, logp, step, last, bigram_logp, eos_id)
+        return (tokens, scores, finished), None
 
     (tokens, scores, finished), _ = jax.lax.scan(
         body, (tokens0, scores0, finished0),
+        jnp.arange(maxlen, dtype=jnp.int32))
+    order = jnp.argsort(-scores, axis=1)
+    tokens = jnp.take_along_axis(tokens, order[..., None], axis=1)
+    scores = jnp.take_along_axis(scores, order, axis=1)
+    return tokens, scores
+
+
+def beam_search_cached(step_fn: Callable, cache0, batch_size: int,
+                       beam_size: int, maxlen: int, vocab_size: int,
+                       bigram_logp: Optional[Array] = None,
+                       eos_id: int = EOS_ID, sos_id: int = SOS_ID
+                       ) -> Tuple[Array, Array]:
+    """KV-cached beam search: same frontier semantics as ``beam_search``
+    (token-identical, tested), but the step function consumes only the LAST
+    token plus a per-hypothesis cache pytree, and the cache rows are
+    re-gathered by parent after every top-k -- so each step is O(1) decoder
+    token-work instead of re-running the whole prefix (the reference's
+    O(T^2) loop, LRW1000 decoder.py:131-245).
+
+    step_fn(tok (N,), cache, step) -> (logits (N, V), new cache); N = B*K.
+    cache0: pytree of (N, ...) tensors (e.g. ``make_uni_cache``).
+    """
+    B, K, V, L = batch_size, beam_size, vocab_size, maxlen + 1
+
+    tokens0 = jnp.full((B, K, L), sos_id, jnp.int32)
+    scores0 = jnp.where(jnp.arange(K) == 0, 0.0, NEG_INF)[None, :].repeat(B, 0)
+    finished0 = jnp.zeros((B, K), bool)
+
+    def body(carry, step):
+        tokens, scores, finished, cache = carry
+        last = jnp.take_along_axis(tokens, jnp.full((B, K, 1), 0, jnp.int32)
+                                   + step, axis=2)[..., 0]
+        logits, cache = step_fn(last.reshape(B * K), cache, step)
+        logp = jax.nn.log_softmax(
+            logits.astype(jnp.float32), axis=-1).reshape(B, K, V)
+        tokens, scores, finished, parent = _advance(
+            tokens, scores, finished, logp, step, last, bigram_logp, eos_id)
+        # the surviving hypotheses' caches are their parents'
+        flat_parent = (jnp.arange(B, dtype=parent.dtype)[:, None] * K
+                       + parent).reshape(-1)
+        cache = jax.tree_util.tree_map(lambda c: c[flat_parent], cache)
+        return (tokens, scores, finished, cache), None
+
+    (tokens, scores, finished, _), _ = jax.lax.scan(
+        body, (tokens0, scores0, finished0, cache0),
         jnp.arange(maxlen, dtype=jnp.int32))
     order = jnp.argsort(-scores, axis=1)
     tokens = jnp.take_along_axis(tokens, order[..., None], axis=1)
@@ -187,9 +245,13 @@ def make_sbl_beam_decoder(model, beam_size: int = 5) -> Callable:
 
 
 def make_uni_beam_decoder(model, beam_size: int = 5,
-                          bigram_logp=None) -> Callable:
+                          bigram_logp=None, kv_cache: bool = True) -> Callable:
     """Jitted batched beam decode for a UniTransformer: video -> (tokens
-    (B, K, L), scores (B, K))."""
+    (B, K, L), scores (B, K)).  Default path carries per-layer self-attn
+    K/V caches through the search (``beam_search_cached``, token-identical
+    to the full-prefix re-run, tested); ``kv_cache=False`` keeps the
+    reference-shaped O(T^2) step for parity checks."""
+    from ..models.decoder_uni import make_uni_cache
 
     @jax.jit
     def decode(variables, video):
@@ -202,6 +264,21 @@ def make_uni_beam_decoder(model, beam_size: int = 5,
         enc_kv = model.apply(
             variables, enc_tiled,
             method=lambda m, e: m.decoder.compute_cross_kv(e))
+
+        if kv_cache:
+            cache0 = make_uni_cache(B * K, dec.maxlen + 1, dec.n_layers,
+                                    dec.n_head * dec.d_k,
+                                    dec.n_head * dec.d_v, dec.dtype)
+
+            def step_fn_kv(tok, cache, step):
+                return model.apply(
+                    variables, tok, cache, enc_kv, step,
+                    method=lambda m, t_, c_, kv_, s_:
+                        m.decoder.decode_step_cached(t_, c_, kv_, s_))
+
+            return beam_search_cached(step_fn_kv, cache0, B, K, dec.maxlen,
+                                      dec.vocab_size,
+                                      bigram_logp=bigram_logp)
 
         def step_fn(ys, step):
             return model.apply(

@@ -32,6 +32,17 @@ from .layers import (CachedCrossAttention, CrossKV, MultiHeadAttention,
 Array = jnp.ndarray
 
 
+def make_uni_cache(batch: int, length: int, n_layers: int, kd: int, vd: int,
+                   dtype) -> tuple:
+    """Zeroed per-layer self-attention K/V caches for cached decode: a
+    tuple over layers of ((batch, length, kd), (batch, length, vd)) flat
+    projected tensors.  Module-free so search drivers can build it without
+    an ``apply`` (decode/beam.py)."""
+    return tuple((jnp.zeros((batch, length, kd), dtype),
+                  jnp.zeros((batch, length, vd), dtype))
+                 for _ in range(n_layers))
+
+
 def preprocess_targets_uni(labels: Array, maxlen: int,
                            sos_id: int = SOS_ID, eos_id: int = EOS_ID,
                            ignore_id: int = IGNORE_ID) -> Tuple[Array, Array]:
@@ -158,8 +169,21 @@ class UniDecoder(nn.Module):
         return logits, ys_out
 
     def recognize_greedy(self, enc_output: Array,
-                         maxlen: Optional[int] = None) -> Array:
-        """Batched greedy decode (reference LRW decoder.py:138-176): re-runs
+                         maxlen: Optional[int] = None,
+                         kv_cache: bool = True) -> Array:
+        """Batched greedy decode.  Returns (B, L+1) ids incl. leading sos.
+
+        Default path caches per-layer self-attention K/V across steps
+        (token-identical to the uncached path, tested); ``kv_cache=False``
+        reproduces the reference's O(T^2) full-prefix re-run shape
+        (LRW decoder.py:138-176) for parity checks."""
+        if kv_cache:
+            return self.recognize_greedy_cached(enc_output, maxlen=maxlen)
+        return self.recognize_greedy_uncached(enc_output, maxlen=maxlen)
+
+    def recognize_greedy_uncached(self, enc_output: Array,
+                                  maxlen: Optional[int] = None) -> Array:
+        """Reference-shaped greedy decode (LRW decoder.py:138-176): re-runs
         the full prefix each step inside one ``lax.scan`` (cross K/V
         projected once).  Returns (B, L+1) token ids incl. the leading sos."""
         steps = self.maxlen if maxlen is None else maxlen
@@ -183,6 +207,60 @@ class UniDecoder(nn.Module):
 
         ys, step_logits = jax.lax.scan(
             body, ys0, jnp.arange(steps, dtype=jnp.int32))
+        return ys
+
+    # ------------------------------------------------------- KV-cached path
+    def _embed_token(self, tok: Array, step: Array) -> Array:
+        """Embed ONE position: tok (B,) ids at position ``step`` ->
+        (B, 1, d_model).  Deterministic (no dropout) -- decode only."""
+        pe = jnp.asarray(sinusoid_position_encoding(self.pe_maxlen,
+                                                    self.d_model))
+        pe_t = jax.lax.dynamic_slice_in_dim(pe, step, 1, axis=0)
+        return (self.tgt_word_emb(tok[:, None]) * self.x_logit_scale
+                + pe_t[None].astype(self.dtype))
+
+    def decode_step_cached(self, tok: Array, cache, enc_kv, step: Array):
+        """One cached autoregressive step.  tok: (B,) token ids at position
+        ``step``; cache: tuple over layers of (k_cache, v_cache) flat
+        (B, L, h*d) tensors (see ``make_uni_cache``).  Returns
+        (logits (B, V) float32 for position step, new cache)."""
+        h = self._embed_token(tok, step)
+        new_cache = []
+        for slf, cross, ffn, (kh, vh), (kc, vc) in zip(
+                self.slf_attn, self.enc_attn, self.pos_ffn, enc_kv, cache):
+            h, kc, vc = slf.decode_step(h, kc, vc, step)
+            new_cache.append((kc, vc))
+            h = cross(h, kh, vh, mask=None, deterministic=True)
+            h = ffn(h, deterministic=True)
+        return self._project(h)[:, 0].astype(jnp.float32), tuple(new_cache)
+
+    def recognize_greedy_cached(self, enc_output: Array,
+                                maxlen: Optional[int] = None) -> Array:
+        """KV-cached greedy decode: each step projects/attends only the new
+        token against per-layer (B, L, h*d) caches carried through one
+        ``lax.scan`` -- ~L x fewer decode token-steps than the reference's
+        full-prefix re-run.  Token-identical to the uncached path (the
+        per-position attention reductions are the same sums over the same
+        values; tested in tests/test_decoder_uni.py)."""
+        steps = self.maxlen if maxlen is None else maxlen
+        B = enc_output.shape[0]
+        L = steps + 1
+        enc_kv = self._compute_kv(enc_output)
+        cache0 = make_uni_cache(B, L, self.n_layers, self.n_head * self.d_k,
+                                self.n_head * self.d_v, self.dtype)
+        ys0 = jnp.full((B, L), SOS_ID, jnp.int32)
+
+        def body(carry, step):
+            ys, cache = carry
+            tok = jax.lax.dynamic_slice_in_dim(ys, step, 1, axis=1)[:, 0]
+            logits, cache = self.decode_step_cached(tok, cache, enc_kv, step)
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            ys = jax.lax.dynamic_update_slice_in_dim(
+                ys, nxt[:, None], step + 1, axis=1)
+            return (ys, cache), None
+
+        (ys, _), _ = jax.lax.scan(body, (ys0, cache0),
+                                  jnp.arange(steps, dtype=jnp.int32))
         return ys
 
     def step_logits(self, ys: Array, enc_output: Array, step: Array) -> Array:

@@ -46,6 +46,11 @@ def sinusoid_position_encoding(max_len: int, d_model: int) -> np.ndarray:
 
 
 class MultiHeadAttention(nn.Module):
+    """setup()-based (not compact) so the autoregressive ``decode_step``
+    method can share the projection submodules with ``__call__``; the
+    submodule names (w_qs/w_ks/w_vs/fc/layer_norm) match the reference's
+    attribute names (attention.py:14-30), keeping the param tree identical
+    to the original compact formulation."""
     d_model: int
     n_head: int
     d_k: int
@@ -54,22 +59,28 @@ class MultiHeadAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False  # fused VMEM attention kernel (TPU only)
 
-    @nn.compact
-    def __call__(self, q: Array, k: Array, v: Array,
-                 mask: Optional[Array] = None,
-                 deterministic: bool = True) -> Array:
-        """q/k/v: (B, T, d_model); mask broadcastable to (B, Tq, Tk)."""
-        residual = q
+    def setup(self):
         d_model, h, d_k, d_v = self.d_model, self.n_head, self.d_k, self.d_v
         # init parity: reference draws q/k proj from N(0, 2/(d_model+d_k))
         # (attention.py:19-21); out proj xavier-normal (attention.py:28).
         qk_init = nn.initializers.normal(stddev=float(np.sqrt(2.0 / (d_model + d_k))))
         v_init = nn.initializers.normal(stddev=float(np.sqrt(2.0 / (d_model + d_v))))
-        wq = nn.Dense(h * d_k, kernel_init=qk_init, dtype=self.dtype, name="w_qs")
-        wk = nn.Dense(h * d_k, kernel_init=qk_init, dtype=self.dtype, name="w_ks")
-        wv = nn.Dense(h * d_v, kernel_init=v_init, dtype=self.dtype, name="w_vs")
-        out_proj = nn.Dense(d_model, kernel_init=nn.initializers.xavier_normal(),
-                            dtype=self.dtype, name="fc")
+        self.w_qs = nn.Dense(h * d_k, kernel_init=qk_init, dtype=self.dtype)
+        self.w_ks = nn.Dense(h * d_k, kernel_init=qk_init, dtype=self.dtype)
+        self.w_vs = nn.Dense(h * d_v, kernel_init=v_init, dtype=self.dtype)
+        self.fc = nn.Dense(d_model,
+                           kernel_init=nn.initializers.xavier_normal(),
+                           dtype=self.dtype)
+        self.attn_drop = nn.Dropout(self.dropout)
+        self.out_drop = nn.Dropout(self.dropout)
+        self.layer_norm = nn.LayerNorm(dtype=jnp.float32)
+
+    def __call__(self, q: Array, k: Array, v: Array,
+                 mask: Optional[Array] = None,
+                 deterministic: bool = True) -> Array:
+        """q/k/v: (B, T, d_model); mask broadcastable to (B, Tq, Tk)."""
+        residual = q
+        h, d_k, d_v = self.n_head, self.d_k, self.d_v
 
         B, Tq, _ = q.shape
         Tk = k.shape[1]
@@ -77,7 +88,7 @@ class MultiHeadAttention(nn.Module):
         # the deterministic Pallas path (the 512 -> (8, 64) minor-dim
         # reshape is a physical relayout XLA must copy for -- ~8 ms/iter of
         # decode @B=256 on the device trace) and lazily elsewhere
-        q2, k2, v2 = wq(q), wk(k), wv(v)
+        q2, k2, v2 = self.w_qs(q), self.w_ks(k), self.w_vs(v)
 
         scale = 1.0 / np.sqrt(d_k)
         use_pallas = self.use_pallas
@@ -119,17 +130,55 @@ class MultiHeadAttention(nn.Module):
                 logits = jnp.where(mask[:, None, :, :], _MASK_FILL, logits)
             attn = nn.softmax(logits.astype(jnp.float32),
                               axis=-1).astype(self.dtype)
-            attn = nn.Dropout(self.dropout, name="attn_drop")(
-                attn, deterministic=deterministic)
+            attn = self.attn_drop(attn, deterministic=deterministic)
             ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, vh,
                              preferred_element_type=jnp.float32).astype(self.dtype)
             ctx = ctx.reshape(B, Tq, h * d_v)
-        out = out_proj(ctx)
-        out = nn.Dropout(self.dropout, name="out_drop")(
-            out, deterministic=deterministic)
-        out = nn.LayerNorm(dtype=jnp.float32, name="layer_norm")(
+        out = self.fc(ctx)
+        out = self.out_drop(out, deterministic=deterministic)
+        out = self.layer_norm(
             out.astype(jnp.float32) + residual.astype(jnp.float32))
         return out.astype(self.dtype)
+
+    def decode_step(self, x: Array, k_cache: Array, v_cache: Array,
+                    step: Array):
+        """One autoregressive self-attention step with a K/V cache.
+
+        The reference decoders re-project and re-attend the whole prefix
+        every step (VSR_seq2seq_Transformer_with_phonemes_LRW/transformer/
+        decoder.py:138-176, O(T^2) per clip); here each step projects only
+        the NEW position and appends to flat (B, L, h*d) caches -- the
+        classical TPU decode idiom (static shapes, one dynamic_update_slice
+        per step, no relayout since caches stay flat).
+
+        x: (B, 1, d_model) layer input at position ``step``;
+        k_cache/v_cache: (B, L, h*d) projected caches, slots >= step unset.
+        Returns (out (B, 1, d_model), k_cache, v_cache) with slot ``step``
+        written.  Deterministic (inference) path only.
+        """
+        h, d_k, d_v = self.n_head, self.d_k, self.d_v
+        B = x.shape[0]
+        L = k_cache.shape[1]
+        q2 = self.w_qs(x)                                   # (B, 1, h*d_k)
+        k_cache = jax.lax.dynamic_update_slice_in_dim(
+            k_cache, self.w_ks(x), step, axis=1)
+        v_cache = jax.lax.dynamic_update_slice_in_dim(
+            v_cache, self.w_vs(x), step, axis=1)
+        qh = q2.reshape(B, h, d_k)
+        kh = k_cache.reshape(B, L, h, d_k)
+        vh = v_cache.reshape(B, L, h, d_v)
+        logits = jnp.einsum("bhd,bkhd->bhk", qh, kh,
+                            preferred_element_type=jnp.float32) / np.sqrt(d_k)
+        invalid = (jnp.arange(L) > step)[None, None, :]
+        logits = jnp.where(invalid, _MASK_FILL, logits)
+        attn = nn.softmax(logits.astype(jnp.float32),
+                          axis=-1).astype(self.dtype)
+        ctx = jnp.einsum("bhk,bkhd->bhd", attn, vh,
+                         preferred_element_type=jnp.float32).astype(self.dtype)
+        out = self.fc(ctx.reshape(B, 1, h * d_v))
+        out = self.layer_norm(
+            out.astype(jnp.float32) + x.astype(jnp.float32))
+        return out.astype(self.dtype), k_cache, v_cache
 
 
 class CrossKV(nn.Module):

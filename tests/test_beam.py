@@ -218,3 +218,34 @@ def test_uni_beam_size1_matches_greedy():
             if beam_best[b, t] == EOS_ID:
                 break
             assert beam_best[b, t] == greedy_np[b, t]
+
+
+def test_uni_beam_cached_token_identical():
+    """KV-cached beam == full-prefix beam on a full tiny UniTransformer,
+    with and without a bigram bias."""
+    from sbl_for_multilingual_lip_reading_tpu import config as C
+    from sbl_for_multilingual_lip_reading_tpu.data import SyntheticLipDataset
+    from sbl_for_multilingual_lip_reading_tpu.decode import (
+        make_uni_beam_decoder)
+    from sbl_for_multilingual_lip_reading_tpu.training import Trainer
+    cfg = C.tiny_test("lrw1000")
+    ds = SyntheticLipDataset(size=4, frames=cfg.data.frames,
+                             raw_size=cfg.data.raw_size, vocab="lrw1000")
+    tr = Trainer(cfg, ds)
+    variables = {"params": tr.state.params,
+                 "batch_stats": tr.state.batch_stats}
+    video = jax.random.normal(
+        jax.random.PRNGKey(3),
+        (2, cfg.data.frames, cfg.data.crop_size, cfg.data.crop_size))
+    rng = np.random.default_rng(0)
+    bigram = jnp.asarray(np.log(rng.random(
+        (cfg.decoder.vocab_size, cfg.decoder.vocab_size)) + 0.1))
+    for bg in (None, bigram):
+        ref_fn = make_uni_beam_decoder(tr.model, beam_size=3, bigram_logp=bg,
+                                       kv_cache=False)
+        kv_fn = make_uni_beam_decoder(tr.model, beam_size=3, bigram_logp=bg)
+        tok_ref, sc_ref = ref_fn(variables, video)
+        tok_kv, sc_kv = kv_fn(variables, video)
+        np.testing.assert_array_equal(np.asarray(tok_kv), np.asarray(tok_ref))
+        np.testing.assert_allclose(np.asarray(sc_kv), np.asarray(sc_ref),
+                                   atol=1e-4)

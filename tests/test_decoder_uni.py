@@ -66,3 +66,32 @@ def test_greedy_matches_stepwise_argmax(setup):
                       jnp.asarray(0), method=dec.step_logits)
     np.testing.assert_array_equal(np.asarray(ys[:, 1]),
                                   np.argmax(np.asarray(step0), -1))
+
+
+def test_cached_greedy_token_identical(setup):
+    dec, params, enc, labels = setup
+    ys_ref = dec.apply(params, enc, method=dec.recognize_greedy_uncached)
+    ys_kv = dec.apply(params, enc, method=dec.recognize_greedy_cached)
+    np.testing.assert_array_equal(np.asarray(ys_kv), np.asarray(ys_ref))
+
+
+def test_cached_step_logits_match_uncached(setup):
+    from sbl_for_multilingual_lip_reading_tpu.models.decoder_uni import (
+        make_uni_cache)
+    dec, params, enc, labels = setup
+    B = enc.shape[0]
+    L = MAXLEN + 1
+    # a fixed token buffer with distinct prefixes
+    ys = jnp.array([[SOS_ID, 3, 4, 5, 6, 7, 8],
+                    [SOS_ID, 6, 7, 3, 4, 5, 6]], jnp.int32)
+    enc_kv = dec.apply(params, enc, method=dec.compute_cross_kv)
+    cache = make_uni_cache(B, L, dec.n_layers, dec.n_head * dec.d_k,
+                           dec.n_head * dec.d_v, dec.dtype)
+    for step in range(L - 1):
+        ref = dec.apply(params, ys, enc_kv, jnp.asarray(step),
+                        method=dec.step_logits_cached)
+        got, cache = dec.apply(params, ys[:, step], cache, enc_kv,
+                               jnp.asarray(step),
+                               method=dec.decode_step_cached)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)
