@@ -174,17 +174,32 @@ class Trainer:
         # warning, and probes/tests that re-call a step on the same state
         # construct their own non-donating steps.
         donate = jax.default_backend() == "tpu"
+
+        def _make_train_step(c, model):
+            if c.name == "classify":
+                return make_classify_train_step(model, self.tx, c,
+                                                donate=donate)
+            if c.decoder.bidirectional:
+                return make_sbl_train_step(model, self.tx, c, donate=donate)
+            return make_uni_train_step(model, self.tx, c, donate=donate)
+
+        def _rebuild_with_remat():
+            # HBM pre-flight fallback: re-make the step with the frontend
+            # rematerialized (same param tree, ~35% less stored activation)
+            import dataclasses
+            c2 = dataclasses.replace(cfg, remat_frontend=True)
+            return _make_train_step(c2, build_model(c2))
+
+        from .memguard import GuardedTrainStep
+        self.train_step = GuardedTrainStep(
+            _make_train_step(cfg, self.model),
+            rebuild=None if cfg.remat_frontend else _rebuild_with_remat,
+            logger=self.logger)
         if cfg.name == "classify":
-            self.train_step = make_classify_train_step(self.model, self.tx,
-                                                       cfg, donate=donate)
             self.eval_step = make_classify_eval_step(self.model, cfg)
         elif cfg.decoder.bidirectional:
-            self.train_step = make_sbl_train_step(self.model, self.tx, cfg,
-                                                  donate=donate)
             self.eval_step = make_sbl_eval_step(self.model, cfg)
         else:
-            self.train_step = make_uni_train_step(self.model, self.tx, cfg,
-                                                  donate=donate)
             self.eval_step = make_uni_eval_step(self.model, cfg)
         self.train_dataset = train_dataset
         self.valid_datasets = valid_datasets or {}
