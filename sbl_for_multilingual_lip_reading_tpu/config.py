@@ -66,7 +66,11 @@ class DecoderConfig:
     # lax.scan unroll factor for the decode loop (decoder_sbl.SBLDecoder
     # .scan_unroll): >1 fuses consecutive steps' dW-accumulator updates in
     # the training backward at the cost of a larger compiled scan body.
-    scan_unroll: int = 1
+    # MEASURED on the production donated B=240 train step (round 4,
+    # tools/train_split_probe.py JOBS=prod, same session): unroll 1 =
+    # 464.8 ms/iter, 2 = 410.7 (-11.6%), 4 = 410.2 (no further gain for
+    # ~2x the scan-body compile) -> default 2.
+    scan_unroll: int = 2
 
 
 @dataclasses.dataclass(frozen=True)

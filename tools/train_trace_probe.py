@@ -79,6 +79,28 @@ def main():
                                       (B, T)),
     }
 
+    if os.environ.get("PROD"):
+        # PRODUCTION trace: the donated train step exactly as Trainer.fit
+        # dispatches it (new_state is a jit OUTPUT, so nothing is DCE'd and
+        # no anchor reductions pollute the attribution -- the anchored
+        # variant below showed ~45 ms/iter of per-leaf f32[] sum-of-squares
+        # fusions that are pure probe overhead).  State evolves across
+        # iters (rng folds in state.step), so dispatches are never
+        # value-identical.
+        step_d = make_sbl_train_step(model, tx, cfg, donate=True)
+        state, m = step_d(state, batch, jax.random.PRNGKey(7))
+        float(m["loss"])  # sync after compile
+        iters = int(os.environ.get("TRACE_ITERS", "3"))
+        tdir = "/tmp/trace_trainprod"
+        with jax.profiler.trace(tdir):
+            for i in range(iters):
+                b = dict(batch)
+                b["clip_u8"] = b["clip_u8"] + np.uint8(i + 1)
+                state, m = step_d(state, b, jax.random.PRNGKey(7))
+            float(m["loss"])
+        report(tdir, "trainprod", iters)
+        return
+
     def _anchor(tree):
         # depend on every leaf so XLA can't DCE the update (see
         # train_split_probe)
