@@ -23,9 +23,17 @@ each iteration perturbs the input batch and fetches a slice of the result
 to host, and the fetch round-trip is measured separately and subtracted.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+``--workload {sbl,lrw,lrw1000,classify}`` benches the other three
+reference projects' inference paths on the same protocol (default sbl,
+the driver contract): lrw / lrw1000 run the unidirectional seq2seq
+KV-cached greedy decode (reference VSR_seq2seq_Transformer_with_phonemes_
+{LRW,LRW1000}/test.py), classify the word+language forward
+(VSR_visual_frontend_pretraining.../test.py).
 """
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
@@ -42,15 +50,23 @@ def main():
     from sbl_for_multilingual_lip_reading_tpu.utils.compile_cache import (
         enable_compile_cache)
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workload", default="sbl",
+                    choices=["sbl", "lrw", "lrw1000", "classify"])
+    args = ap.parse_args()
+    workload = args.workload
+
     # persistent compile cache: re-runs skip the ~6 min full-dims compile;
     # affects compile time only, never the measured execution
     enable_compile_cache()
 
-    cfg = C.sbl()
+    presets = {"sbl": C.sbl, "lrw": C.lrw_seq2seq,
+               "lrw1000": C.lrw1000_seq2seq, "classify": C.classify}
+    cfg = presets[workload]()
     on_tpu = jax.default_backend() == "tpu"
     if not on_tpu:
         # CPU smoke path: tiny model so the benchmark always completes
-        cfg = C.tiny_test("sbl")
+        cfg = C.tiny_test(workload)
     model = build_model(cfg)
     rng = jax.random.PRNGKey(0)
     # B=512 fits HBM and measures ~12% higher than 256 (better sync
@@ -58,11 +74,20 @@ def main():
     B = 512 if on_tpu else 4
     T, raw, crop = cfg.data.frames, cfg.data.raw_size, cfg.data.crop_size
 
-    labels = jnp.zeros((2, cfg.decoder.target_pad_len), jnp.int32)
     init_video = jnp.zeros((2, T, crop, crop), jnp.float32)
-    variables = jax.jit(
-        lambda: model.init({"params": rng, "dropout": rng, "teacher": rng},
-                           init_video, labels, labels, train=False))()
+    rngs = {"params": rng, "dropout": rng, "teacher": rng}
+    if workload == "classify":
+        variables = jax.jit(
+            lambda: model.init(rngs, init_video, train=False))()
+    elif cfg.decoder.bidirectional:
+        labels = jnp.zeros((2, cfg.decoder.target_pad_len), jnp.int32)
+        variables = jax.jit(
+            lambda: model.init(rngs, init_video, labels, labels,
+                               train=False))()
+    else:
+        labels = jnp.zeros((2, cfg.decoder.target_pad_len), jnp.int32)
+        variables = jax.jit(
+            lambda: model.init(rngs, init_video, labels, train=False))()
 
     dtype = jnp.dtype(cfg.compute_dtype)
 
@@ -70,6 +95,8 @@ def main():
     def recognize_batch(variables, clips_u8):
         # eval protocol: static center crop, no flip/frame-map (test.py)
         video = device_ingest(clips_u8, None, None, None, crop, dtype)
+        if workload == "classify":
+            return model.apply(variables, video, train=False)
         return model.apply(variables, video, method=model.recognize)
 
     clips = jnp.asarray(
@@ -122,8 +149,10 @@ def main():
     # both ends: this can understate, never overstate.
     clips_per_sec = B * outer * inner / max(min(dts) - min(rtts), 1e-9)
 
+    metric = ("lrw_inference_clips_per_sec_per_chip" if workload == "sbl"
+              else f"{workload}_inference_clips_per_sec_per_chip")
     result = {
-        "metric": "lrw_inference_clips_per_sec_per_chip",
+        "metric": metric,
         "value": round(clips_per_sec, 2),
         "unit": "clips/s",
         "vs_baseline": round(clips_per_sec / V100_REFERENCE_CLIPS_PER_SEC, 3),
