@@ -126,6 +126,80 @@ def _bwd(x, dy):
 max_pool_3x3s2.defvjp(_fwd, _bwd)
 
 
+# --------------------------------------------------------------------- v2
+# One-window variant: the packed argmax reduce_window runs in the FORWARD
+# (replacing the plain bf16 max window -- the pooled values are recovered
+# from the packed winner's value bits, bit-identical), and the residual is
+# the (N, Ho, Wo, C) uint16 winner positions instead of x.  The backward
+# then skips the repack + second reduce_window entirely (the round-4
+# unroll-2 production trace bills that recompute ~13-18 ms/iter @B=240:
+# and_subtract_fusion 5.0 + maximum_convert_fusion 8.3 + part of the
+# bf16[7200,22,22,64] fusions).  Residual cost: 222 MB of uint16 vs the
+# 1.78 GB bf16 x the v1 backward re-reads.
+
+
+def _unpack_value(pw: Array, dtype) -> Array:
+    """Invert ``_monotonic_int`` on the value bits of a packed winner."""
+    bits = (pw >> _POS_BITS).astype(jnp.int32)
+    sign, full = 1 << 15, (1 << 16) - 1
+    raw = jnp.where(bits >= sign, bits & (sign - 1), full - bits)
+    return jax.lax.bitcast_convert_type(raw.astype(jnp.uint16), dtype)
+
+
+@jax.custom_vjp
+def max_pool_3x3s2_v2(x: Array) -> Array:
+    return _pool_fwd_raw(x)
+
+
+def _fwd_v2(x):
+    N, H, W, C = x.shape
+    assert H % 2 == 0 and W % 2 == 0 and H * W <= _POS_MASK, (H, W)
+    pos = (jnp.arange(H, dtype=jnp.int32)[:, None] * W
+           + jnp.arange(W, dtype=jnp.int32))[None, :, :, None]
+    packed = (_monotonic_int(x) << _POS_BITS) | (_POS_MASK - pos)
+    pw = jax.lax.reduce_window(
+        packed, jnp.iinfo(jnp.int32).min, jax.lax.max,
+        (1, 3, 3, 1), (1, 2, 2, 1), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    y = _unpack_value(pw, x.dtype)
+    pos_win = (_POS_MASK - (pw & _POS_MASK)).astype(jnp.uint16)
+    return y, (pos_win, x.shape)
+
+
+def _bwd_v2(res, dy):
+    pos_win16, (N, H, W, C) = res
+    pos_win = pos_win16.astype(jnp.int32)
+    # identical quadrant assembly to v1's tail (see _bwd), minus the repack
+    pos_p = jnp.pad(pos_win, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                    constant_values=-1)
+    dy_p = jnp.pad(dy, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    Hh, Wh = H // 2, W // 2
+    quads = []
+    for eh in (0, 1):
+        row = []
+        for ew in (0, 1):
+            p_in = ((jnp.arange(Hh, dtype=jnp.int32) * 2 + eh)[:, None] * W
+                    + (jnp.arange(Wh, dtype=jnp.int32) * 2 + ew))[None, :, :,
+                                                                  None]
+            acc = jnp.zeros((N, Hh, Wh, C), jnp.float32)
+            for ch in (0, 1):
+                for cw in (0, 1):
+                    hs, ws = eh + ch, ew + cw
+                    pv = jax.lax.slice(
+                        pos_p, (0, hs, ws, 0), (N, hs + Hh, ws + Wh, C))
+                    dv = jax.lax.slice(
+                        dy_p, (0, hs, ws, 0), (N, hs + Hh, ws + Wh, C))
+                    acc = acc + jnp.where(pv == p_in,
+                                          dv.astype(jnp.float32), 0.0)
+            row.append(acc.astype(dy.dtype))
+        quads.append(row)
+    dx = jnp.stack([jnp.stack(r, axis=3) for r in quads], axis=2)
+    dx = dx.reshape(N, H, W, C)
+    return (dx,)
+
+
+max_pool_3x3s2_v2.defvjp(_fwd_v2, _bwd_v2)
+
+
 def stem_max_pool(x: Array) -> Array:
     """The frontend stem's 3x3/s2/p1 pool, with the scatter-free backward
     when the shape/dtype qualify (bf16/f16, even H/W, H*W < 2^13 -- always
@@ -139,6 +213,8 @@ def stem_max_pool(x: Array) -> Array:
                 and H % 2 == 0 and W % 2 == 0 and H * W <= _POS_MASK
                 and not os.environ.get("NO_FAST_POOL_GRAD"))
     if eligible:
+        if os.environ.get("FAST_POOL_V2"):
+            return max_pool_3x3s2_v2(x)
         return max_pool_3x3s2(x)
     return nn.max_pool(x, window_shape=(3, 3), strides=(2, 2),
                        padding=((1, 1), (1, 1)))

@@ -79,3 +79,30 @@ def test_stem_max_pool_fast_path_under_jit_grad():
     assert jnp.array_equal(g, gr)
     hlo = jax.jit(jax.grad(loss)).lower(x).as_text()
     assert "select_and_scatter" not in hlo
+
+
+@pytest.mark.parametrize("shape", [(2, 8, 8, 3), (3, 44, 44, 5),
+                                   (2, 16, 16, 64)])
+def test_v2_bit_identical_fwd_and_grad(shape):
+    from sbl_for_multilingual_lip_reading_tpu.ops.maxpool import (
+        max_pool_3x3s2_v2)
+    rng = np.random.default_rng(sum(shape) + 1)
+    x = jnp.asarray(rng.integers(0, 100, size=shape), jnp.bfloat16)
+    dy = jnp.asarray(
+        rng.integers(-8, 8,
+                     size=(shape[0], shape[1] // 2, shape[2] // 2, shape[3])),
+        jnp.bfloat16)
+    ref_y, ref_vjp = jax.vjp(_ref_pool, x)
+    y, vjp = jax.vjp(max_pool_3x3s2_v2, x)
+    # forward values are recovered from the packed winner's value bits --
+    # must be BIT-identical, including negatives
+    assert jnp.array_equal(y, ref_y)
+    assert jnp.array_equal(vjp(dy)[0], ref_vjp(dy)[0])
+
+
+def test_v2_negative_values_roundtrip():
+    from sbl_for_multilingual_lip_reading_tpu.ops.maxpool import (
+        max_pool_3x3s2_v2)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(2, 12, 12, 4)) - 3.0, jnp.bfloat16)
+    assert jnp.array_equal(max_pool_3x3s2_v2(x), _ref_pool(x))
