@@ -129,6 +129,57 @@ class FastBatchNorm(nn.Module):
         return y
 
 
+class DotBatchNorm(nn.Module):
+    """BatchNorm whose train-mode statistic reductions run as MXU dots
+    (ops/bn_dot.py) instead of XLA `reduce` fusions.
+
+    Drop-in for both ``nn.BatchNorm`` (groups=1) and the
+    DataParallel-parity ``GroupedBatchNorm`` (groups=dp): same variable
+    layout, same biased running-var update, group-0 running stats, f32
+    output.  Pure XLA (no Mosaic layout pin), so it runs on every
+    backend including the CPU test mesh.  Motivation + formulation in
+    ops/bn_dot.py; reference semantics: torch BatchNorm2d train mode
+    (video_frontend.py:15-41).
+    """
+    groups: int = 1
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: Array, use_running_average: bool = True) -> Array:
+        from ..ops.bn_dot import bn_train_dot
+        features = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (features,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (features,),
+                          jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean", nn.initializers.zeros,
+                                None, (features,), jnp.float32)
+        ra_var = self.variable("batch_stats", "var", nn.initializers.ones,
+                               None, (features,), jnp.float32)
+        if use_running_average:
+            inv = jax.lax.rsqrt(ra_var.value + self.epsilon) * scale
+            return x.astype(jnp.float32) * inv + (bias - ra_mean.value * inv)
+        y, mean, var = bn_train_dot(x, scale, bias, self.epsilon,
+                                    self.groups)
+        if not self.is_initializing():
+            m = self.momentum
+            # running stats from group 0 (the torch source replica);
+            # stop_gradient: torch never backprops the running buffers
+            ra_mean.value = (m * ra_mean.value
+                             + (1 - m) * jax.lax.stop_gradient(mean[0]))
+            ra_var.value = (m * ra_var.value
+                            + (1 - m) * jax.lax.stop_gradient(var[0]))
+        return y
+
+
+def _dot_bn_on(field: bool) -> bool:
+    import os
+    if os.environ.get("NO_DOT_BN"):
+        return False
+    return field or bool(os.environ.get("DOT_BN"))
+
+
 def _use_fast_bn() -> bool:
     # real-TPU only, like the stem/attention kernels: the CPU test mesh and
     # the multichip dryrun take the plain nn.BatchNorm path (tests
@@ -161,6 +212,8 @@ class BasicBlock(nn.Module):
     # one-pass Pallas train-mode BN statistics (FastBatchNorm); default OFF
     # -- measured a net LOSS (see VisualFrontend.use_pallas_bn)
     use_pallas_bn: bool = False
+    # MXU dot-based train-mode BN statistics (DotBatchNorm / ops/bn_dot.py)
+    use_dot_bn: bool = False
 
     def _fused_eligible(self, x: Array, train: bool) -> bool:
         if (train or self.stride != 1 or x.shape[-1] != self.filters
@@ -189,6 +242,11 @@ class BasicBlock(nn.Module):
         def bn(name, h):
             # fp32 statistics, activations kept in compute dtype (the f32
             # BN outputs would otherwise double backward-pass HBM)
+            if _dot_bn_on(self.use_dot_bn):
+                return DotBatchNorm(
+                    max(1, self.bn_groups), self.bn_momentum,
+                    self.bn_epsilon, name=name)(
+                        h, use_running_average=not train).astype(self.dtype)
             if self.bn_groups > 1:
                 return GroupedBatchNorm(
                     self.bn_groups, self.bn_momentum, self.bn_epsilon,
@@ -239,6 +297,7 @@ class ResNetTrunk(nn.Module):
     bn_groups: int = 1
     use_pallas_resblock: bool = False
     use_pallas_bn: bool = False
+    use_dot_bn: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -251,6 +310,7 @@ class ResNetTrunk(nn.Module):
                               self.dtype, self.bn_groups,
                               self.use_pallas_resblock,
                               use_pallas_bn=self.use_pallas_bn,
+                              use_dot_bn=self.use_dot_bn,
                               name=f"layer{stage + 1}_block{b}")(
                     x, train)
         return jnp.mean(x, axis=(1, 2))  # AdaptiveAvgPool2d(1)
@@ -290,6 +350,10 @@ class VisualFrontend(nn.Module):
     # divisibility -> 870+ sequential blocks/call, ~3x over floor).
     # PALLAS_BN=1 in tools/train_split_probe.py re-measures.
     use_pallas_bn: bool = False
+    # MXU dot-based train-mode BN statistics (DotBatchNorm; formulation
+    # and round-4 motivation in ops/bn_dot.py).  DOT_BN=1 / NO_DOT_BN=1
+    # env knobs override for A/B measurement.
+    use_dot_bn: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False,
@@ -327,7 +391,11 @@ class VisualFrontend(nn.Module):
             xs, k2d, window_strides=(2, 2), padding=((3, 3), (3, 3)),
             dimension_numbers=(lhs_spec, "HWIO", "NHWC"),
             preferred_element_type=self.dtype)
-        if self.bn_groups > 1:
+        if _dot_bn_on(self.use_dot_bn):
+            x = DotBatchNorm(max(1, self.bn_groups), self.bn_momentum,
+                             self.bn_epsilon, name="bn3d")(
+                x, use_running_average=not train)
+        elif self.bn_groups > 1:
             x = GroupedBatchNorm(self.bn_groups, self.bn_momentum,
                                  self.bn_epsilon, name="bn3d")(
                 x, use_running_average=not train)
@@ -353,7 +421,8 @@ class VisualFrontend(nn.Module):
                         self.bn_momentum, self.bn_epsilon, self.dtype,
                         self.remat, self.bn_groups,
                         self.use_pallas_resblock,
-                        use_pallas_bn=self.use_pallas_bn, name="resnet")(
+                        use_pallas_bn=self.use_pallas_bn,
+                        use_dot_bn=self.use_dot_bn, name="resnet")(
             x, train=train)
         x = nn.Dropout(self.dropout, name="feat_drop")(
             x, deterministic=deterministic)

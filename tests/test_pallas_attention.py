@@ -33,8 +33,12 @@ def test_fused_mha_with_causal_bias():
                for i in range(3))
     mask = jnp.broadcast_to(M.causal_mask(8)[None], (2, 8, 8))
     bias = mask_to_bias(mask)
-    out = fused_mha(q, k, v, bias=bias, interpret=True)
-    expect = _xla_reference(q, k, v, bias)
+    # pin f32 dots: on the real chip DEFAULT matmul precision runs f32
+    # operands as bf16 passes, and the causal rows' sharp softmax amplifies
+    # the 2^-8 rounding past atol (kernel and einsum round differently)
+    with jax.default_matmul_precision("highest"):
+        out = fused_mha(q, k, v, bias=bias, interpret=True)
+        expect = _xla_reference(q, k, v, bias)
     np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
                                atol=1e-5)
     # causality: row 0 only attends key 0 => out[...,0,:] == v[...,0,:]

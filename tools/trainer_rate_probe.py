@@ -78,6 +78,8 @@ def main():
         double-buffered state on top of the ~15 GB B=240 working set)."""
         s = tr.state
         it = tr._device_batches(epoch)
+        s, m = step_fn(s, next(it), tr.rng)     # warm (compile/donation)
+        float(m["loss"])
         t0 = time.perf_counter()
         n = 0
         for i, b in enumerate(it):
@@ -87,21 +89,51 @@ def main():
             n += 1
         float(m["loss"])
         dt = (time.perf_counter() - t0) / n * 1000.0
+        it.close()                 # drop any generator-held device batch
         tr.state = s
         return dt
 
-    from sbl_for_multilingual_lip_reading_tpu.training.steps import (
-        make_sbl_train_step)
-    step_nodon = make_sbl_train_step(tr.model, tr.tx, cfg, donate=False)
-    _, m0 = step_nodon(tr.state, next(tr._device_batches(9)), tr.rng)
-    float(m0["loss"])                     # block until compiled + run
+    def chain_1batch(epoch):
+        """One pre-built device batch reused for every step: the pure
+        train-step dispatch rate with zero per-step generator / transfer
+        work (state chains, so dispatches are never value-identical).
+        (bare - chain1b) attributes the generator+transfer dispatch cost;
+        (lagged - bare) the per-step fetch cost."""
+        it = tr._device_batches(epoch)
+        batch = next(it)
+        it.close()                 # free the generator's prefetch slot
+        s = tr.state
+        s, m = tr.train_step(s, batch, tr.rng)   # warm (donation shape)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            s, m = tr.train_step(s, batch, tr.rng)
+        float(m["loss"])
+        dt = (time.perf_counter() - t0) / steps * 1000.0
+        tr.state = s
+        return dt
 
-    jobs = [("bare-don  ", lambda e: bare_rate(e, tr.train_step), 1),
-            ("bare-nodon", lambda e: bare_rate(e, step_nodon), 2),
+    # The non-donating step doubles the live param/opt set; build and warm
+    # it LAZILY (first use) so its extra state never sits in HBM during the
+    # donated jobs -- keeping it alive in a local across chain-1b OOMed the
+    # B=240 working set on a real run.
+    _nodon = []
+
+    def step_nodon(s, b, rng):
+        if not _nodon:
+            from sbl_for_multilingual_lip_reading_tpu.training.steps import (
+                make_sbl_train_step)
+            _nodon.append(make_sbl_train_step(tr.model, tr.tx, cfg,
+                                              donate=False))
+        return _nodon[0](s, b, rng)
+
+    jobs = [("chain-1b  ", lambda e: chain_1batch(e), 0),
+            ("bare-don  ", lambda e: bare_rate(e, tr.train_step), 1),
             ("bare-don2 ", lambda e: bare_rate(e, tr.train_step), 3),
-            ("bare-nodo2", lambda e: bare_rate(e, step_nodon), 4),
+            ("chain-1b2 ", lambda e: chain_1batch(e), 7),
             ("lagged    ", lambda e: epoch_rate(e), 5),
-            ("blocking  ", lambda e: blocking_rate(e), 6)]
+            ("blocking  ", lambda e: blocking_rate(e), 6),
+            ("bare-nodon", lambda e: bare_rate(e, step_nodon), 2),
+            ("bare-nodo2", lambda e: bare_rate(e, step_nodon), 4)]
     for name, fn, e in jobs:
         ms = fn(e)
         print(f"{name}: {ms:7.2f} ms/step ({B / ms * 1000:7.1f} clips/s)",
