@@ -65,14 +65,15 @@ def _ingest_eval(batch, crop: int, dtype):
                          n_frames=batch.get("n_frames"))
 
 
-def make_sbl_train_step(model, tx, cfg, donate: bool = False) -> Callable:
+def make_sbl_train_body(model, tx, cfg) -> Callable:
+    """Un-jitted SBL train-step body ``(state, batch, rng) -> (state,
+    metrics)`` -- shared by the plain jitted step and the epoch-fused
+    cached step (``make_epoch_fused_step``)."""
     freeze = tuple(getattr(cfg, "freeze_prefixes", ()) or ())
     crop = cfg.data.crop_size
     dtype = jnp.dtype(cfg.compute_dtype)
     smoothing = cfg.optim.label_smoothing
 
-    @functools.partial(jax.jit,
-                       donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, dict]:
         rng = jax.random.fold_in(rng, state.step)
         drop_rng, teach_rng = jax.random.split(rng)
@@ -101,6 +102,50 @@ def make_sbl_train_step(model, tx, cfg, donate: bool = False) -> Callable:
     return train_step
 
 
+def make_sbl_train_step(model, tx, cfg, donate: bool = False) -> Callable:
+    return jax.jit(make_sbl_train_body(model, tx, cfg),
+                   donate_argnums=(0,) if donate else ())
+
+
+def make_epoch_fused_step(body: Callable, donate: bool = True) -> Callable:
+    """Fuse the per-step batch assembly INTO the jitted train step.
+
+    Through the axon TPU tunnel, each host->device transfer / dispatch is
+    a ~30-85 ms round trip, and the cached-data epoch loop paid two of
+    them per step (the index upload + the clip-gather dispatch) on top of
+    the train-step dispatch: tools/trainer_rate_probe.py measured 625 ms
+    wall vs 457-476 ms for a dispatch-only chain on a ~427 ms device step
+    @B=240, and a producer thread hid none of it (the RPCs serialize on
+    the client).  Here the WHOLE epoch's shuffle order and augmentation
+    plans are uploaded once (`Trainer._epoch_const`) and the step indexes
+    them with the donated ``state.step`` counter, so steady-state epochs
+    cost exactly one dispatch RPC per step and the per-step batch
+    construction (clip gather, label gather, plan slice) runs on-device
+    inside the same XLA program as the step itself.
+
+    ``const`` layout:
+      base        int32[]            state.step at epoch start
+      order       int32[n_steps, B]  epoch shuffle, one row per step
+      clips       uint8[N, T, H, W]  the resident dataset
+      per_sample  {key: [N, ...]}    label-like arrays, gathered by order
+      per_step    {key: [n_steps, ...]}  plan arrays, sliced by step
+    """
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def fused_step(state: TrainState, const, rng):
+        i = (state.step - const["base"]).astype(jnp.int32)
+        idx = jax.lax.dynamic_index_in_dim(const["order"], i, 0,
+                                           keepdims=False)
+        batch = {k: jnp.take(v, idx, axis=0)
+                 for k, v in const["per_sample"].items()}
+        batch["clip_u8"] = jnp.take(const["clips"], idx, axis=0)
+        for k, v in const["per_step"].items():
+            batch[k] = jax.lax.dynamic_index_in_dim(v, i, 0, keepdims=False)
+        return body(state, batch, rng)
+
+    return fused_step
+
+
 def make_sbl_eval_step(model, cfg) -> Callable:
     crop = cfg.data.crop_size
     dtype = jnp.dtype(cfg.compute_dtype)
@@ -116,14 +161,12 @@ def make_sbl_eval_step(model, cfg) -> Callable:
     return eval_step
 
 
-def make_uni_train_step(model, tx, cfg, donate: bool = False) -> Callable:
+def make_uni_train_body(model, tx, cfg) -> Callable:
     freeze = tuple(getattr(cfg, "freeze_prefixes", ()) or ())
     crop = cfg.data.crop_size
     dtype = jnp.dtype(cfg.compute_dtype)
     smoothing = cfg.optim.label_smoothing
 
-    @functools.partial(jax.jit,
-                       donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
         video = _ingest_train(batch, crop, dtype)
@@ -146,6 +189,11 @@ def make_uni_train_step(model, tx, cfg, donate: bool = False) -> Callable:
     return train_step
 
 
+def make_uni_train_step(model, tx, cfg, donate: bool = False) -> Callable:
+    return jax.jit(make_uni_train_body(model, tx, cfg),
+                   donate_argnums=(0,) if donate else ())
+
+
 def make_uni_eval_step(model, cfg) -> Callable:
     crop = cfg.data.crop_size
     dtype = jnp.dtype(cfg.compute_dtype)
@@ -160,14 +208,12 @@ def make_uni_eval_step(model, cfg) -> Callable:
     return eval_step
 
 
-def make_classify_train_step(model, tx, cfg, donate: bool = False) -> Callable:
+def make_classify_train_body(model, tx, cfg) -> Callable:
     freeze = tuple(getattr(cfg, "freeze_prefixes", ()) or ())
     crop = cfg.data.crop_size
     dtype = jnp.dtype(cfg.compute_dtype)
     lw = cfg.language_loss_weight
 
-    @functools.partial(jax.jit,
-                       donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
         video = _ingest_train(batch, crop, dtype)
@@ -191,6 +237,11 @@ def make_classify_train_step(model, tx, cfg, donate: bool = False) -> Callable:
         return state, metrics
 
     return train_step
+
+
+def make_classify_train_step(model, tx, cfg, donate: bool = False) -> Callable:
+    return jax.jit(make_classify_train_body(model, tx, cfg),
+                   donate_argnums=(0,) if donate else ())
 
 
 def make_classify_eval_step(model, cfg) -> Callable:

@@ -15,6 +15,7 @@ utils/metrics.py).
 """
 from __future__ import annotations
 
+import os
 import time
 from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
@@ -22,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.pipeline import Batcher, prefetch_to_device
+from ..data.pipeline import Batcher, background_iter, prefetch_to_device
 from ..data.transforms import make_train_plans
 from ..models import build_model
 from ..utils.logging import get_logger
@@ -31,9 +32,11 @@ from ..vocab import EOS_ID, IGNORE_ID, SOS_ID, TOTAL_PHONEMES
 from . import checkpoint as ckpt
 from .schedule import make_optimizer
 from .state import TrainState
-from .steps import (make_classify_eval_step, make_classify_train_step,
-                    make_sbl_eval_step, make_sbl_train_step,
-                    make_uni_eval_step, make_uni_train_step)
+from .steps import (make_classify_eval_step, make_classify_train_body,
+                    make_classify_train_step, make_epoch_fused_step,
+                    make_sbl_eval_step, make_sbl_train_body,
+                    make_sbl_train_step, make_uni_eval_step,
+                    make_uni_train_body, make_uni_train_step)
 
 
 def attach_plans(batch: Dict, rng: np.random.Generator, cfg,
@@ -175,6 +178,8 @@ class Trainer:
         # construct their own non-donating steps.
         donate = jax.default_backend() == "tpu"
 
+        self._donate = donate
+
         def _make_train_step(c, model):
             if c.name == "classify":
                 return make_classify_train_step(model, self.tx, c,
@@ -195,6 +200,7 @@ class Trainer:
             _make_train_step(cfg, self.model),
             rebuild=None if cfg.remat_frontend else _rebuild_with_remat,
             logger=self.logger)
+        self._fused_step = None        # built lazily (first cached epoch)
         if cfg.name == "classify":
             self.eval_step = make_classify_eval_step(self.model, cfg)
         elif cfg.decoder.bidirectional:
@@ -215,6 +221,7 @@ class Trainer:
         self.cache_on_device = cache_on_device
         self._dev_clips = None
         self._host_small = None
+        self._dev_small = None
 
     # ------------------------------------------------------------------ train
     def _make_sampler(self, epoch: int):
@@ -271,6 +278,66 @@ class Trainer:
                                         jnp.asarray(idx), axis=0)
             yield batch
 
+    def _epoch_const(self, epoch: int):
+        """Whole-epoch constants for the fused cached step: the shuffle
+        order and every step's augmentation plans, uploaded in ONE
+        device_put (a few MB) instead of two tunnel round trips per step
+        (~150-170 ms/step @B=240, tools/trainer_rate_probe.py).  Draws
+        from the same np_rng sequence as ``_device_batches``, so the two
+        paths produce identical batches."""
+        self._ensure_device_cache()
+        if self._dev_small is None:
+            self._dev_small = jax.device_put(self._host_small)
+        B = self.cfg.batch_size
+        order = np.random.default_rng(self.cfg.seed + epoch).permutation(
+            len(self.train_dataset))
+        n_steps = len(order) // B
+        order = order[:n_steps * B].reshape(n_steps, B).astype(np.int32)
+        shape_stub = np.broadcast_to(np.uint8(0),
+                                     (B,) + self._dev_clips.shape[1:])
+        plans = {"offsets": [], "flip": [], "frame_map": []}
+        for s in range(n_steps):
+            idx = order[s]
+            batch = {k: v[idx] for k, v in self._host_small.items()}
+            batch = attach_plans({**batch, "clip_u8": shape_stub},
+                                 self.np_rng, self.cfg, train=True)
+            for k in plans:
+                plans[k].append(batch[k])
+        const = jax.device_put({
+            "base": np.int32(int(self.state.step)),
+            "order": order,
+            "per_step": {k: np.stack(v) for k, v in plans.items()},
+        })
+        const["clips"] = self._dev_clips
+        const["per_sample"] = self._dev_small
+        return const, n_steps
+
+    def _ensure_fused_step(self):
+        if self._fused_step is not None:
+            return self._fused_step
+
+        def _make_body(c, model):
+            if c.name == "classify":
+                return make_classify_train_body(model, self.tx, c)
+            if c.decoder.bidirectional:
+                return make_sbl_train_body(model, self.tx, c)
+            return make_uni_train_body(model, self.tx, c)
+
+        def _rebuild_with_remat():
+            import dataclasses
+            c2 = dataclasses.replace(self.cfg, remat_frontend=True)
+            return make_epoch_fused_step(_make_body(c2, build_model(c2)),
+                                         donate=self._donate)
+
+        from .memguard import GuardedTrainStep
+        self._fused_step = GuardedTrainStep(
+            make_epoch_fused_step(_make_body(self.cfg, self.model),
+                                  donate=self._donate),
+            rebuild=(None if self.cfg.remat_frontend
+                     else _rebuild_with_remat),
+            logger=self.logger)
+        return self._fused_step
+
     def train_epoch(self, epoch: int = 0, max_steps: Optional[int] = None
                     ) -> float:
         losses = AverageMeter()
@@ -281,6 +348,9 @@ class Trainer:
                     "silently drop the fixed-ratio TwoStreamBatchSampler "
                     "protocol; unset secondary_batch_size or the device "
                     "cache")
+            if (self.mesh is None
+                    and not os.environ.get("SBL_NO_EPOCH_FUSED")):
+                return self._train_epoch_fused(epoch, max_steps)
             batcher = None
             it = self._device_batches(epoch)
         else:
@@ -289,6 +359,12 @@ class Trainer:
                               sampler=self._make_sampler(epoch))
             it = (attach_plans(b, self.np_rng, self.cfg, train=True)
                   for b in batcher)
+        if not os.environ.get("SBL_NO_BG_BATCH"):
+            # assemble batches on a producer thread: plan RNG draws, host
+            # gathers and the device-cache jnp.take dispatch cost
+            # ~150-170 ms/step inline @B=240 through the TPU tunnel
+            # (tools/trainer_rate_probe.py) -- overlapped they cost ~0
+            it = background_iter(it)
         sharding = None
         if self.mesh is not None:
             from ..parallel import batch_sharding
@@ -335,6 +411,64 @@ class Trainer:
                 with self.timer.step():
                     self.state, metrics = self.train_step(self.state, batch,
                                                           self.rng)
+                    if pending is not None:
+                        consume(pending)
+                    pending = (i, base_step + i + 1, metrics)
+                if tracing and i >= 3:
+                    jax.profiler.stop_trace()
+                    tracing = False
+                    self.logger.info(f"profiler trace written to "
+                                     f"{self.profile_dir}")
+            if pending is not None:
+                consume(pending)
+                pending = None
+        finally:
+            if tracing:
+                jax.profiler.stop_trace()
+        return losses.avg
+
+    def _train_epoch_fused(self, epoch: int, max_steps: Optional[int] = None
+                           ) -> float:
+        """Cached-dataset epoch via the epoch-fused step: one upload of
+        the epoch's order+plans, then exactly one dispatch per step (the
+        batch gather runs inside the jitted step, indexed by the donated
+        ``state.step``).  Loss fetch lags one step, as in train_epoch.
+        Measured @B=240: 628 -> ~475 ms/step wall on a ~427 ms device
+        step (tools/trainer_rate_probe.py)."""
+        losses = AverageMeter()
+        step_fn = self._ensure_fused_step()
+        const, n_steps = self._epoch_const(epoch)
+        if max_steps is not None:
+            n_steps = min(n_steps, max_steps)
+        tracing = False
+        base_step = int(self.state.step)
+
+        def consume(prev):
+            i, step_no, metrics = prev
+            loss = float(metrics["loss"])
+            if self.halt_on_nan and not np.isfinite(loss):
+                raise FloatingPointError(
+                    f"non-finite loss {loss} at step {step_no} "
+                    f"(epoch {epoch}, batch {i}); metrics="
+                    f"{ {k: float(v) for k, v in metrics.items()} }")
+            losses.update(loss)
+            if self.writer is not None:
+                self.writer.add_scalar("train/loss", loss, step_no)
+            if i % 50 == 0:
+                self.logger.info(
+                    f"Epoch: [{epoch}][{i}/{n_steps}]\t"
+                    f"Loss {losses.val:.5f} ({losses.avg:.5f})\t"
+                    f"{self.timer.clips_per_sec:.1f} clips/s")
+
+        pending = None
+        try:
+            for i in range(n_steps):
+                if self.profile_dir is not None and epoch == 0 and i == 1:
+                    jax.profiler.start_trace(self.profile_dir)
+                    tracing = True
+                with self.timer.step():
+                    self.state, metrics = step_fn(self.state, const,
+                                                  self.rng)
                     if pending is not None:
                         consume(pending)
                     pending = (i, base_step + i + 1, metrics)

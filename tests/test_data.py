@@ -91,6 +91,66 @@ def test_prefetch_yields_all():
     assert batches[0]["labels"].shape == (2, 14)
 
 
+def test_background_iter_order_exception_and_close():
+    from sbl_for_multilingual_lip_reading_tpu.data.pipeline import (
+        background_iter)
+    # order preserved, fully drained
+    assert list(background_iter(iter(range(20)), depth=3)) == list(range(20))
+    assert list(background_iter(iter([]), depth=1)) == []
+
+    # producer exceptions re-raise in the consumer after queued items drain
+    def boom():
+        yield 1
+        yield 2
+        raise ValueError("producer failed")
+    got = []
+    with pytest.raises(ValueError, match="producer failed"):
+        for x in background_iter(boom()):
+            got.append(x)
+    assert got == [1, 2]
+
+    # early close stops the producer thread and closes the source
+    closed = []
+    def src():
+        try:
+            for i in range(1000):
+                yield i
+        finally:
+            closed.append(True)
+    it = background_iter(src(), depth=1)
+    assert next(it) == 0
+    it.close()
+    import time as _t
+    for _ in range(50):           # producer close is asynchronous
+        if closed:
+            break
+        _t.sleep(0.05)
+    assert closed
+
+
+def test_train_epoch_background_batches_match_inline(monkeypatch):
+    """The threaded epoch loop must consume exactly the inline batch
+    stream: same loss sequence with and without the producer thread."""
+    import dataclasses
+    from sbl_for_multilingual_lip_reading_tpu import config as C
+    from sbl_for_multilingual_lip_reading_tpu.training import Trainer
+
+    cfg = C.tiny_test("sbl")
+    cfg = dataclasses.replace(cfg, batch_size=4)
+    ds = SyntheticLipDataset(size=8, frames=cfg.data.frames,
+                             raw_size=cfg.data.raw_size)
+
+    def run(no_bg):
+        if no_bg:
+            monkeypatch.setenv("SBL_NO_BG_BATCH", "1")
+        else:
+            monkeypatch.delenv("SBL_NO_BG_BATCH", raising=False)
+        tr = Trainer(cfg, ds)
+        return [tr.train_epoch(e) for e in range(2)]
+
+    assert run(no_bg=True) == run(no_bg=False)
+
+
 def test_two_stream_sampler():
     s = TwoStreamBatchSampler(list(range(10)), list(range(100, 104)),
                               batch_size=5, secondary_batch_size=2, seed=0)

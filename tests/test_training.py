@@ -115,10 +115,12 @@ def test_profile_dir_writes_trace(tmp_path):
                for f in produced), produced
 
 
-def test_device_cache_epoch_matches_host_path():
+def test_device_cache_epoch_matches_host_path(monkeypatch):
     """cache_on_device gathers batches on-device by index; the training
     stream (shuffle order, plans, losses) must match the host Batcher
-    path exactly."""
+    path exactly -- through BOTH cached routes: the epoch-fused step
+    (gather inside the jitted step, the default) and the per-step
+    generator fallback (SBL_NO_EPOCH_FUSED=1)."""
     import dataclasses
     from sbl_for_multilingual_lip_reading_tpu.data import (
         SyntheticPatternDataset)
@@ -127,12 +129,17 @@ def test_device_cache_epoch_matches_host_path():
     mk = dict(n_words=4, samples_per_word=3, frames=cfg.data.frames,
               raw_size=cfg.data.raw_size)
     losses = []
-    for cache in (False, True):
+    for cache, fused in ((False, False), (True, True), (True, False)):
+        if fused:
+            monkeypatch.delenv("SBL_NO_EPOCH_FUSED", raising=False)
+        else:
+            monkeypatch.setenv("SBL_NO_EPOCH_FUSED", "1")
         ds = SyntheticPatternDataset(**mk)
         tr = Trainer(cfg, ds, cache_on_device=cache)
-        losses.append(tr.train_epoch(0))
-    assert np.isfinite(losses[0])
+        losses.append([tr.train_epoch(e) for e in range(2)])
+    assert all(np.isfinite(l) for l in losses[0])
     np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
+    np.testing.assert_allclose(losses[1], losses[2], rtol=1e-5)
 
 
 def test_donating_train_step_chains():

@@ -126,14 +126,30 @@ def main():
                                               donate=False))
         return _nodon[0](s, b, rng)
 
-    jobs = [("chain-1b  ", lambda e: chain_1batch(e), 0),
-            ("bare-don  ", lambda e: bare_rate(e, tr.train_step), 1),
-            ("bare-don2 ", lambda e: bare_rate(e, tr.train_step), 3),
-            ("chain-1b2 ", lambda e: chain_1batch(e), 7),
-            ("lagged    ", lambda e: epoch_rate(e), 5),
-            ("blocking  ", lambda e: blocking_rate(e), 6),
-            ("bare-nodon", lambda e: bare_rate(e, step_nodon), 2),
-            ("bare-nodo2", lambda e: bare_rate(e, step_nodon), 4)]
+    def epoch_rate_generator(epoch):
+        # the pre-fused cached path: per-step jnp.asarray + jnp.take RPCs
+        os.environ["SBL_NO_EPOCH_FUSED"] = "1"
+        try:
+            return epoch_rate(epoch)
+        finally:
+            del os.environ["SBL_NO_EPOCH_FUSED"]
+
+    # "fused" = train_epoch default (epoch-fused cached step: order+plans
+    # uploaded once, gather inside the jitted step); "lagged-gen" = the
+    # old generator path (two extra tunnel RPCs per step); "chain-1b" =
+    # dispatch-rate floor; "bare-don" = generator work inline, no epoch
+    # machinery.  nodon jobs dropped from the default list -- donation's
+    # win is recorded (CLAUDE.md round 3) and their extra state risks the
+    # B=240 HBM edge.
+    jobs = [("fused     ", lambda e: epoch_rate(e), 0),
+            ("chain-1b  ", lambda e: chain_1batch(e), 1),
+            ("fused2    ", lambda e: epoch_rate(e), 7),
+            ("lagged-gen", lambda e: epoch_rate_generator(e), 5),
+            ("bare-don  ", lambda e: bare_rate(e, tr.train_step), 3),
+            ("blocking  ", lambda e: blocking_rate(e), 6)]
+    if os.environ.get("NODON"):
+        jobs += [("bare-nodon", lambda e: bare_rate(e, step_nodon), 2),
+                 ("bare-nodo2", lambda e: bare_rate(e, step_nodon), 4)]
     for name, fn, e in jobs:
         ms = fn(e)
         print(f"{name}: {ms:7.2f} ms/step ({B / ms * 1000:7.1f} clips/s)",
