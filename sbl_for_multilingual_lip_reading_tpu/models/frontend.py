@@ -173,11 +173,73 @@ class DotBatchNorm(nn.Module):
         return y
 
 
+class FusedBNAct(nn.Module):
+    """BatchNorm (+ residual add) (+ ReLU) with the minimal-residual fused
+    train-mode backward (ops/bn_relu.py).
+
+    Default production BN for the frontend since round 4: the composed
+    autodiff path keeps the BN output alive as the ReLU VJP's residual
+    (~5 GB across the stem + 8 blocks at B=240), which XLA's HLO
+    rematerializer then fights by re-running the stat reductions in the
+    backward (~20 ms/iter of ``.remat`` fusions in the production trace).
+    The custom VJP stores only the conv output + (groups, C) statistics and
+    recomputes xhat / the ReLU mask elementwise.
+
+    Variable layout matches ``nn.BatchNorm`` / ``GroupedBatchNorm`` (params
+    scale/bias, batch_stats mean/var, all f32) so checkpoints interchange;
+    ``groups`` > 1 reproduces the DataParallel per-replica statistics
+    semantics (running stats from group 0, the torch source replica).
+    Reference semantics: video_frontend.py:15-41 (blocks), :95-97 (stem).
+    """
+    groups: int = 1
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    relu: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array, res: Optional[Array] = None,
+                 use_running_average: bool = True) -> Array:
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean", nn.initializers.zeros,
+                                None, (C,), jnp.float32)
+        ra_var = self.variable("batch_stats", "var", nn.initializers.ones,
+                               None, (C,), jnp.float32)
+        if use_running_average or self.is_initializing():
+            inv = jax.lax.rsqrt(ra_var.value + self.epsilon) * scale
+            y = (x.astype(jnp.float32) * inv
+                 + (bias - ra_mean.value * inv)).astype(x.dtype)
+            if res is not None:
+                y = y + res.astype(x.dtype)
+            return jax.nn.relu(y) if self.relu else y
+        from ..ops.bn_relu import bn_act_train
+        y, mean, var = bn_act_train(x, scale, bias, res,
+                                    eps=self.epsilon,
+                                    groups=max(1, self.groups),
+                                    relu=self.relu)
+        m = self.momentum
+        # group 0 = the torch source replica; stop_gradient: running
+        # buffers are never backpropagated (the op's VJP relies on this)
+        ra_mean.value = (m * ra_mean.value
+                         + (1 - m) * jax.lax.stop_gradient(mean[0]))
+        ra_var.value = (m * ra_var.value
+                        + (1 - m) * jax.lax.stop_gradient(var[0]))
+        return y
+
+
 def _dot_bn_on(field: bool) -> bool:
     import os
     if os.environ.get("NO_DOT_BN"):
         return False
     return field or bool(os.environ.get("DOT_BN"))
+
+
+def _fused_bn_act_on(field: bool) -> bool:
+    import os
+    if os.environ.get("NO_FUSED_BN_ACT"):
+        return False
+    return field or bool(os.environ.get("FUSED_BN_ACT"))
 
 
 def _use_fast_bn() -> bool:
@@ -214,6 +276,10 @@ class BasicBlock(nn.Module):
     use_pallas_bn: bool = False
     # MXU dot-based train-mode BN statistics (DotBatchNorm / ops/bn_dot.py)
     use_dot_bn: bool = False
+    # minimal-residual fused BN(+res)+ReLU (FusedBNAct / ops/bn_relu.py);
+    # production default since round 4.  NO_FUSED_BN_ACT=1 restores the
+    # composed nn.BatchNorm/GroupedBatchNorm + relu path for A/B.
+    use_fused_bn_act: bool = True
 
     def _fused_eligible(self, x: Array, train: bool) -> bool:
         if (train or self.stride != 1 or x.shape[-1] != self.filters
@@ -239,6 +305,10 @@ class BasicBlock(nn.Module):
     def __call__(self, x: Array, train: bool = False) -> Array:
         if self._fused_eligible(x, train):
             return self._fused_eval(x)
+        if (_fused_bn_act_on(self.use_fused_bn_act)
+                and not _dot_bn_on(self.use_dot_bn)
+                and not _pallas_bn_on(self.use_pallas_bn)):
+            return self._fused_bn_act_path(x, train)
         def bn(name, h):
             # fp32 statistics, activations kept in compute dtype (the f32
             # BN outputs would otherwise double backward-pass HBM)
@@ -279,6 +349,32 @@ class BasicBlock(nn.Module):
             residual = bn("downsample_bn", residual)
         return nn.relu(y + residual.astype(y.dtype))
 
+    def _fused_bn_act_path(self, x: Array, train: bool) -> Array:
+        """Same math/params as the composed path, with every BN(+res)+ReLU
+        running through FusedBNAct (see its docstring)."""
+        g = max(1, self.bn_groups)
+        ura = not train
+        y = nn.Conv(self.filters, (3, 3), strides=(self.stride, self.stride),
+                    padding=((1, 1), (1, 1)), use_bias=False,
+                    kernel_init=_conv_init, dtype=self.dtype, name="conv1")(x)
+        y = FusedBNAct(g, self.bn_momentum, self.bn_epsilon, relu=True,
+                       name="bn1")(y, use_running_average=ura)
+        y = nn.Conv(self.filters, (3, 3), padding=((1, 1), (1, 1)),
+                    use_bias=False, kernel_init=_conv_init,
+                    dtype=self.dtype, name="conv2")(y)
+        if self.stride != 1 or x.shape[-1] != self.filters:
+            residual = nn.Conv(self.filters, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, kernel_init=_conv_init,
+                               dtype=self.dtype, name="downsample_conv")(x)
+            residual = FusedBNAct(g, self.bn_momentum, self.bn_epsilon,
+                                  relu=False, name="downsample_bn")(
+                residual, use_running_average=ura)
+        else:
+            residual = x
+        return FusedBNAct(g, self.bn_momentum, self.bn_epsilon, relu=True,
+                          name="bn2")(y, residual, use_running_average=ura)
+
 
 class ResNetTrunk(nn.Module):
     """Stemless ResNet-18 trunk (reference video_frontend.py:44-89): four
@@ -298,6 +394,7 @@ class ResNetTrunk(nn.Module):
     use_pallas_resblock: bool = False
     use_pallas_bn: bool = False
     use_dot_bn: bool = False
+    use_fused_bn_act: bool = True
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -311,6 +408,7 @@ class ResNetTrunk(nn.Module):
                               self.use_pallas_resblock,
                               use_pallas_bn=self.use_pallas_bn,
                               use_dot_bn=self.use_dot_bn,
+                              use_fused_bn_act=self.use_fused_bn_act,
                               name=f"layer{stage + 1}_block{b}")(
                     x, train)
         return jnp.mean(x, axis=(1, 2))  # AdaptiveAvgPool2d(1)
@@ -354,6 +452,10 @@ class VisualFrontend(nn.Module):
     # and round-4 motivation in ops/bn_dot.py).  DOT_BN=1 / NO_DOT_BN=1
     # env knobs override for A/B measurement.
     use_dot_bn: bool = False
+    # minimal-residual fused BN(+res)+ReLU (FusedBNAct / ops/bn_relu.py);
+    # production default since round 4.  NO_FUSED_BN_ACT=1 / FUSED_BN_ACT=1
+    # env knobs override for A/B measurement.
+    use_fused_bn_act: bool = True
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False,
@@ -391,23 +493,33 @@ class VisualFrontend(nn.Module):
             xs, k2d, window_strides=(2, 2), padding=((3, 3), (3, 3)),
             dimension_numbers=(lhs_spec, "HWIO", "NHWC"),
             preferred_element_type=self.dtype)
-        if _dot_bn_on(self.use_dot_bn):
-            x = DotBatchNorm(max(1, self.bn_groups), self.bn_momentum,
-                             self.bn_epsilon, name="bn3d")(
+        if (_fused_bn_act_on(self.use_fused_bn_act)
+                and not _dot_bn_on(self.use_dot_bn)
+                and not _pallas_bn_on(self.use_pallas_bn)):
+            # relu fused in; output already in compute dtype (cast and relu
+            # commute exactly, see ops/bn_relu.py)
+            x = FusedBNAct(max(1, self.bn_groups), self.bn_momentum,
+                           self.bn_epsilon, relu=True, name="bn3d")(
                 x, use_running_average=not train)
-        elif self.bn_groups > 1:
-            x = GroupedBatchNorm(self.bn_groups, self.bn_momentum,
-                                 self.bn_epsilon, name="bn3d")(
-                x, use_running_average=not train)
-        elif _pallas_bn_on(self.use_pallas_bn):
-            x = FastBatchNorm(self.bn_momentum, self.bn_epsilon,
-                              name="bn3d")(x, use_running_average=not train)
         else:
-            x = nn.BatchNorm(use_running_average=not train,
-                             momentum=self.bn_momentum,
-                             epsilon=self.bn_epsilon,
-                             dtype=jnp.float32, name="bn3d")(x)
-        x = nn.relu(x).astype(self.dtype)
+            if _dot_bn_on(self.use_dot_bn):
+                x = DotBatchNorm(max(1, self.bn_groups), self.bn_momentum,
+                                 self.bn_epsilon, name="bn3d")(
+                    x, use_running_average=not train)
+            elif self.bn_groups > 1:
+                x = GroupedBatchNorm(self.bn_groups, self.bn_momentum,
+                                     self.bn_epsilon, name="bn3d")(
+                    x, use_running_average=not train)
+            elif _pallas_bn_on(self.use_pallas_bn):
+                x = FastBatchNorm(self.bn_momentum, self.bn_epsilon,
+                                  name="bn3d")(
+                    x, use_running_average=not train)
+            else:
+                x = nn.BatchNorm(use_running_average=not train,
+                                 momentum=self.bn_momentum,
+                                 epsilon=self.bn_epsilon,
+                                 dtype=jnp.float32, name="bn3d")(x)
+            x = nn.relu(x).astype(self.dtype)
         # The reference pools with MaxPool3d(k=(1,3,3)) -- temporal window 1,
         # so with time already folded into batch, pool in 2-D: identical
         # math, and it spares XLA a 5-D layout that tile-pads the (B, T)
@@ -422,7 +534,9 @@ class VisualFrontend(nn.Module):
                         self.remat, self.bn_groups,
                         self.use_pallas_resblock,
                         use_pallas_bn=self.use_pallas_bn,
-                        use_dot_bn=self.use_dot_bn, name="resnet")(
+                        use_dot_bn=self.use_dot_bn,
+                        use_fused_bn_act=self.use_fused_bn_act,
+                        name="resnet")(
             x, train=train)
         x = nn.Dropout(self.dropout, name="feat_drop")(
             x, deterministic=deterministic)

@@ -213,8 +213,12 @@ def stem_max_pool(x: Array) -> Array:
                 and H % 2 == 0 and W % 2 == 0 and H * W <= _POS_MASK
                 and not os.environ.get("NO_FAST_POOL_GRAD"))
     if eligible:
-        if os.environ.get("FAST_POOL_V2"):
-            return max_pool_3x3s2_v2(x)
-        return max_pool_3x3s2(x)
+        # v2 (packed-window forward, uint16 position residuals) is the
+        # default after the round-4 A/B (438.5 vs 441.6/444.7 ms/iter
+        # baseline bracket on the anchored B=240 prod step -- ~0.7%,
+        # consistent with the trace's ~3 ms quadrant-repack saving).
+        if os.environ.get("NO_FAST_POOL_V2"):
+            return max_pool_3x3s2(x)
+        return max_pool_3x3s2_v2(x)
     return nn.max_pool(x, window_shape=(3, 3), strides=(2, 2),
                        padding=((1, 1), (1, 1)))

@@ -78,8 +78,14 @@ class GuardedTrainStep:
         self.rebuilt = False          # introspection for tests/logs
 
     def _shape_key(self, args):
+        # sharding is part of the key: an executable compiled for
+        # single-device inputs cannot be dispatched with mesh-sharded
+        # arguments (and vice versa) -- those calls take the plain jit
+        # path, which re-specializes
         return jax.tree_util.tree_map(
-            lambda x: (getattr(x, "shape", None), str(getattr(x, "dtype", ""))),
+            lambda x: (getattr(x, "shape", None),
+                       str(getattr(x, "dtype", "")),
+                       str(getattr(x, "sharding", ""))),
             args)
 
     def _check(self, compiled, limit: int) -> Optional[str]:
