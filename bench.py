@@ -151,11 +151,19 @@ def main():
 
     metric = ("lrw_inference_clips_per_sec_per_chip" if workload == "sbl"
               else f"{workload}_inference_clips_per_sec_per_chip")
+    # model-FLOPs utilization: analytic per-clip forward FLOPs of the
+    # measured graph (utils/flops.py -- MAC ops only, growing-prefix decode
+    # semantics; segment padding counts as lost MFU) over the chip's peak
+    # (v5e 197 TF/s bf16; SBL_PEAK_TFLOPS overrides)
+    from sbl_for_multilingual_lip_reading_tpu.utils import flops as F
+    fpc = F.inference_flops_per_clip(cfg)
     result = {
         "metric": metric,
         "value": round(clips_per_sec, 2),
         "unit": "clips/s",
         "vs_baseline": round(clips_per_sec / V100_REFERENCE_CLIPS_PER_SEC, 3),
+        "flops_per_clip_g": round(fpc / 1e9, 2),
+        "mfu": round(F.mfu(clips_per_sec, fpc), 4),
     }
     if on_tpu:
         # Environment-health stamp: chained 4096^3 bf16 matmul, calibrated

@@ -14,6 +14,7 @@ from __future__ import annotations
 import collections
 import queue as queue_mod
 import threading
+import time
 from typing import Callable, Iterable, Iterator, Optional
 
 import jax
@@ -221,7 +222,19 @@ def background_iter(it: Iterable, depth: int = 1) -> Iterator:
                 close = getattr(it, "close", None)
                 if close is not None:
                     close()
-            q.put(_END)
+            # Never block forever on the sentinel: after stop is set the
+            # consumer no longer needs it (a single untimed q.put(_END)
+            # here deadlocked early closes -- the consumer's one-shot
+            # drain freed a slot that an in-flight item put immediately
+            # refilled, then this put blocked and t.join leaked the
+            # thread + its pinned batch).
+            while True:
+                try:
+                    q.put(_END, timeout=0.1)
+                    break
+                except queue_mod.Full:
+                    if stop.is_set():
+                        break
 
     t = threading.Thread(target=run, daemon=True, name="batch-producer")
     t.start()
@@ -235,12 +248,16 @@ def background_iter(it: Iterable, depth: int = 1) -> Iterator:
             yield item
     finally:
         stop.set()
-        while True:             # unblock a producer stuck on q.put
+        # Drain interleaved with join until the producer exits: a single
+        # drain pass can race an in-flight q.put(item) that refills the
+        # queue before the producer reaches its sentinel put.
+        deadline = time.monotonic() + 5.0
+        while t.is_alive() and time.monotonic() < deadline:
             try:
                 q.get_nowait()
             except queue_mod.Empty:
-                break
-        t.join(timeout=5.0)
+                pass
+            t.join(timeout=0.05)
 
 
 def prefetch_to_device(it: Iterable[dict], size: int = 2,

@@ -278,13 +278,16 @@ class Trainer:
                                         jnp.asarray(idx), axis=0)
             yield batch
 
-    def _epoch_const(self, epoch: int):
+    def _epoch_const(self, epoch: int, max_steps: Optional[int] = None):
         """Whole-epoch constants for the fused cached step: the shuffle
         order and every step's augmentation plans, uploaded in ONE
         device_put (a few MB) instead of two tunnel round trips per step
         (~150-170 ms/step @B=240, tools/trainer_rate_probe.py).  Draws
-        from the same np_rng sequence as ``_device_batches``, so the two
-        paths produce identical batches."""
+        from the same np_rng sequence as ``_device_batches`` and only for
+        the steps that will actually run (``max_steps``-truncated epochs
+        advance the shared host RNG exactly as far as the generator path
+        would), so the two cached routes produce identical batch streams
+        even across truncated smoke/resume epochs."""
         self._ensure_device_cache()
         if self._dev_small is None:
             self._dev_small = jax.device_put(self._host_small)
@@ -292,6 +295,8 @@ class Trainer:
         order = np.random.default_rng(self.cfg.seed + epoch).permutation(
             len(self.train_dataset))
         n_steps = len(order) // B
+        if max_steps is not None:
+            n_steps = min(n_steps, max_steps)
         order = order[:n_steps * B].reshape(n_steps, B).astype(np.int32)
         shape_stub = np.broadcast_to(np.uint8(0),
                                      (B,) + self._dev_clips.shape[1:])
@@ -359,6 +364,15 @@ class Trainer:
                               sampler=self._make_sampler(epoch))
             it = (attach_plans(b, self.np_rng, self.cfg, train=True)
                   for b in batcher)
+        if max_steps is not None:
+            # bound the SOURCE, not just the consuming loop: the producer
+            # thread + device prefetch below pull ahead of the loop, and
+            # every pull draws augmentation plans from the shared np_rng --
+            # an unbounded source would advance the RNG stream past what a
+            # truncated epoch consumed (diverging from the fused path's
+            # exactly-n_steps draws in _epoch_const)
+            import itertools
+            it = itertools.islice(it, max_steps)
         if not os.environ.get("SBL_NO_BG_BATCH"):
             # assemble batches on a producer thread: plan RNG draws, host
             # gathers and the device-cache jnp.take dispatch cost
@@ -437,9 +451,7 @@ class Trainer:
         step (tools/trainer_rate_probe.py)."""
         losses = AverageMeter()
         step_fn = self._ensure_fused_step()
-        const, n_steps = self._epoch_const(epoch)
-        if max_steps is not None:
-            n_steps = min(n_steps, max_steps)
+        const, n_steps = self._epoch_const(epoch, max_steps)
         tracing = False
         base_step = int(self.state.step)
 

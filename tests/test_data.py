@@ -128,6 +128,41 @@ def test_background_iter_order_exception_and_close():
     assert closed
 
 
+def test_background_iter_early_close_no_thread_leak():
+    """Early close must terminate the producer thread promptly even when
+    an in-flight q.put refills the slot the consumer's drain freed (the
+    old one-shot drain left the producer blocked forever on its untimed
+    q.put(_END): each close then stalled the 5 s join and leaked a daemon
+    thread pinning one queued batch)."""
+    import threading
+    import time as _t
+    from sbl_for_multilingual_lip_reading_tpu.data.pipeline import (
+        background_iter)
+
+    def src():
+        i = 0
+        while True:
+            yield i
+            i += 1
+
+    t0 = _t.monotonic()
+    for _ in range(20):
+        it = background_iter(src(), depth=1)
+        assert next(it) is not None
+        it.close()
+    elapsed = _t.monotonic() - t0
+    # each leaked close stalls ~5 s in join; 20 clean closes are sub-second
+    assert elapsed < 10.0, f"early closes took {elapsed:.1f}s (leak stall?)"
+    deadline = _t.monotonic() + 5.0
+    while _t.monotonic() < deadline:
+        alive = [t for t in threading.enumerate()
+                 if t.name == "batch-producer" and t.is_alive()]
+        if not alive:
+            break
+        _t.sleep(0.05)
+    assert not alive, f"{len(alive)} producer thread(s) leaked"
+
+
 def test_train_epoch_background_batches_match_inline(monkeypatch):
     """The threaded epoch loop must consume exactly the inline batch
     stream: same loss sequence with and without the producer thread."""

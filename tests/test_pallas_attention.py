@@ -110,6 +110,31 @@ def test_small_mha_grad_matches_xla_gradients():
 
 
 @pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="real-chip default-precision rounding behavior")
+def test_fused_mha_causal_default_precision_bounded_on_chip():
+    """Round-4 on-chip failure follow-up (ADVICE r4 #4): at DEFAULT matmul
+    precision the chip runs f32 operands as bf16 passes and the causal
+    rows' sharp softmax amplifies the 2^-8 rounding past the strict 1e-5
+    atol (kernel and einsum round differently) -- that is rounding, not a
+    kernel bug.  This bounds the divergence at default precision against
+    the f32 reference: a genuine indexing/masking bug would be O(1) off,
+    bf16 rounding stays ~1e-2 on N(0,1) values.  Causality stays EXACT
+    (row 0 copies v[...,0,:] regardless of dot rounding)."""
+    rng = jax.random.PRNGKey(1)
+    q, k, v = (jax.random.normal(jax.random.fold_in(rng, i), (2, 4, 8, 16))
+               for i in range(3))
+    mask = jnp.broadcast_to(M.causal_mask(8)[None], (2, 8, 8))
+    bias = mask_to_bias(mask)
+    out = fused_mha(q, k, v, bias=bias)          # real Mosaic kernel
+    with jax.default_matmul_precision("highest"):
+        expect = _xla_reference(q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                               atol=5e-2)
+    np.testing.assert_allclose(np.asarray(out[:, :, 0]),
+                               np.asarray(v[:, :, 0]), atol=1e-5)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
                     reason="in-kernel PRNG needs TPU")
 def test_dropout_kernel_exact_vs_xla_with_extracted_mask():
     from sbl_for_multilingual_lip_reading_tpu.ops.attention import (

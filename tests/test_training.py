@@ -142,6 +142,33 @@ def test_device_cache_epoch_matches_host_path(monkeypatch):
     np.testing.assert_allclose(losses[1], losses[2], rtol=1e-5)
 
 
+def test_fused_epoch_rng_parity_after_truncated_epoch(monkeypatch):
+    """A max_steps-truncated fused epoch must advance the shared host plan
+    RNG exactly as far as the generator path: the epoch-fused _epoch_const
+    used to pre-draw the WHOLE epoch's augmentation plans, so the two
+    cached routes diverged after any truncated smoke/resume epoch."""
+    import dataclasses
+    from sbl_for_multilingual_lip_reading_tpu.data import (
+        SyntheticPatternDataset)
+    cfg = C.tiny_test("sbl")
+    cfg = dataclasses.replace(cfg, batch_size=4)
+    mk = dict(n_words=4, samples_per_word=3, frames=cfg.data.frames,
+              raw_size=cfg.data.raw_size)
+    losses = []
+    for fused in (True, False):
+        if fused:
+            monkeypatch.delenv("SBL_NO_EPOCH_FUSED", raising=False)
+        else:
+            monkeypatch.setenv("SBL_NO_EPOCH_FUSED", "1")
+        tr = Trainer(cfg, SyntheticPatternDataset(**mk),
+                     cache_on_device=True)
+        # epoch 0 truncated to one step, epoch 1 full: epoch 1's plan
+        # draws depend on how far epoch 0 advanced the np_rng stream
+        losses.append([tr.train_epoch(0, max_steps=1), tr.train_epoch(1)])
+    assert all(np.isfinite(l) for l in losses[0])
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
+
+
 def test_donating_train_step_chains():
     """Trainer donates the input state on TPU (steps.py donate=True): the
     step must be re-callable chained through its own output.  On the CPU

@@ -23,7 +23,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def aot_fulldims_check(mesh, global_batch: int = 240,
                        remat_frontend: bool = None,
-                       eval_too: bool = True, verbose: bool = True) -> dict:
+                       eval_too: bool = True, train_too: bool = True,
+                       verbose: bool = True) -> dict:
     """AOT-compile the full-dims train (+ eval) step over ``mesh``.
 
     Returns {"train_compile_s", "eval_compile_s", "train_temp_bytes",
@@ -128,12 +129,13 @@ def aot_fulldims_check(mesh, global_batch: int = 240,
 
     out = {}
     with mesh:
-        t0 = time.perf_counter()
-        train_step = make_sbl_train_step(model, tx, cfg, donate=True)
-        lowered = train_step.lower(state_in, batch_abs, rng_abs)
-        compiled = lowered.compile()
-        out["train_compile_s"] = round(time.perf_counter() - t0, 1)
-        out["train_temp_bytes"], out["argument_bytes"] = mem_of(compiled)
+        if train_too:
+            t0 = time.perf_counter()
+            train_step = make_sbl_train_step(model, tx, cfg, donate=True)
+            lowered = train_step.lower(state_in, batch_abs, rng_abs)
+            compiled = lowered.compile()
+            out["train_compile_s"] = round(time.perf_counter() - t0, 1)
+            out["train_temp_bytes"], out["argument_bytes"] = mem_of(compiled)
         if eval_too:
             t0 = time.perf_counter()
             eval_step = make_sbl_eval_step(model, cfg)
@@ -143,19 +145,34 @@ def aot_fulldims_check(mesh, global_batch: int = 240,
             out["eval_temp_bytes"], _ = mem_of(ecompiled)
     if verbose:
         gb = 1 << 30
-        print(f"  full-dims AOT mesh={dict(mesh.shape)} B={B}: "
-              f"train compile {out['train_compile_s']}s "
-              f"temp {out['train_temp_bytes'] / gb:.2f} GiB, "
-              f"args {out['argument_bytes'] / gb:.2f} GiB"
-              + (f"; eval compile {out['eval_compile_s']}s "
-                 f"temp {out['eval_temp_bytes'] / gb:.2f} GiB"
-                 if eval_too else ""), flush=True)
+        parts = [f"  full-dims AOT mesh={dict(mesh.shape)} B={B}:"]
+        if train_too:
+            parts.append(f"train compile {out['train_compile_s']}s "
+                         f"temp {out['train_temp_bytes'] / gb:.2f} GiB, "
+                         f"args {out['argument_bytes'] / gb:.2f} GiB")
+        if eval_too:
+            parts.append(f"eval compile {out['eval_compile_s']}s "
+                         f"temp {out['eval_temp_bytes'] / gb:.2f} GiB")
+        print(" ".join(parts), flush=True)
     return out
 
 
 def main():
-    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                               + " --xla_force_host_platform_device_count=8")
+    """CLI: python tools/aot_fulldims_check.py [dp] [tp] [job]
+
+    job: ``both`` (default, train+eval), ``train``, or ``eval``.  Prints a
+    final machine-readable line ``AOT_JSON {...}`` so the driver-facing
+    ``__graft_entry__.dryrun_multichip`` can run each compile as a
+    deadline-bounded subprocess (round-4 lesson: the unconditional in-process
+    4-compile sweep blew the driver's ~10-min budget, MULTICHIP_r04 rc=124).
+    """
+    import json
+
+    n_dev = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    n_dev *= int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={n_dev}")
     import jax
     jax.config.update("jax_platforms", "cpu")
     from sbl_for_multilingual_lip_reading_tpu.utils.compile_cache import (
@@ -164,8 +181,12 @@ def main():
     from sbl_for_multilingual_lip_reading_tpu.parallel import make_mesh
     dp = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     tp = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    job = sys.argv[3] if len(sys.argv) > 3 else "both"
     mesh = make_mesh(data=dp, model=tp)
-    aot_fulldims_check(mesh)
+    out = aot_fulldims_check(mesh, eval_too=(job != "train"),
+                             train_too=(job != "eval"))
+    print("AOT_JSON " + json.dumps({"dp": dp, "tp": tp, "job": job, **out}),
+          flush=True)
 
 
 if __name__ == "__main__":

@@ -32,6 +32,12 @@ from tools.tpu_timing import loop_t
 
 
 def main():
+    from sbl_for_multilingual_lip_reading_tpu.utils.compile_cache import (
+        enable_compile_cache)
+
+    # compile time only, never the measured execution; bracketed A/B runs
+    # (baseline / ablation / baseline) re-use the baseline executable
+    enable_compile_cache()
     from sbl_for_multilingual_lip_reading_tpu import config as C
     from sbl_for_multilingual_lip_reading_tpu.data.pipeline import (
         device_ingest)
@@ -237,7 +243,10 @@ def main():
         ms = prod_t(iters=int(os.environ.get("ITERS", "4")), inner=4,
                     reps=int(os.environ.get("REPS", "3")))
         results["prod step"] = ms
-        print(f"prod step: {ms:8.2f} ms/iter ({B / ms * 1000:7.1f} clips/s)",
+        from sbl_for_multilingual_lip_reading_tpu.utils import flops as F
+        cps = B / ms * 1000
+        print(f"prod step: {ms:8.2f} ms/iter ({cps:7.1f} clips/s, "
+              f"train MFU {F.mfu(cps, F.train_flops_per_clip(cfg)):.3f})",
               flush=True)
     if not only:
         fwd = results["fwd      "]
