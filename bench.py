@@ -30,11 +30,18 @@ the driver contract): lrw / lrw1000 run the unidirectional seq2seq
 KV-cached greedy decode (reference VSR_seq2seq_Transformer_with_phonemes_
 {LRW,LRW1000}/test.py), classify the word+language forward
 (VSR_visual_frontend_pretraining.../test.py).
+
+``--beam-size K`` switches the decode to batched beam search (the
+reference's actual lrw1000 test protocol, decoder.py:131-245);
+``--bigram-lm`` adds the (V, V) bigram bias table lookup the reference
+loads from bigram_freq.pkl (a synthetic table here -- the bias values
+don't change the executed work, only the decode RESULT).
 """
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 V100_REFERENCE_CLIPS_PER_SEC = 150.0
@@ -53,8 +60,20 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workload", default="sbl",
                     choices=["sbl", "lrw", "lrw1000", "classify"])
+    ap.add_argument("--beam-size", type=int, default=None,
+                    help="bench the batched beam decode at this width "
+                         "(seq2seq workloads only)")
+    ap.add_argument("--bigram-lm", action="store_true",
+                    help="with --beam-size on a unidirectional workload: "
+                         "add the (V,V) bigram-LM bias lookup per step")
     args = ap.parse_args()
     workload = args.workload
+    if args.beam_size is not None and workload == "classify":
+        ap.error("--beam-size needs a seq2seq workload")
+    if os.environ.get("SBL_BENCH_CPU"):
+        # tiny-dims CPU smoke without spinning up the TPU tunnel (the axon
+        # plugin ignores JAX_PLATFORMS; the config update is the switch)
+        jax.config.update("jax_platforms", "cpu")
 
     # persistent compile cache: re-runs skip the ~6 min full-dims compile;
     # affects compile time only, never the measured execution
@@ -72,6 +91,9 @@ def main():
     # B=512 fits HBM and measures ~12% higher than 256 (better sync
     # amortization at equal device efficiency)
     B = 512 if on_tpu else 4
+    if args.beam_size is not None:
+        # the beam tiles every hypothesis tensor K-fold; keep B*K bounded
+        B = max(B // max(args.beam_size, 1), 1) if on_tpu else B
     T, raw, crop = cfg.data.frames, cfg.data.raw_size, cfg.data.crop_size
 
     init_video = jnp.zeros((2, T, crop, crop), jnp.float32)
@@ -91,10 +113,33 @@ def main():
 
     dtype = jnp.dtype(cfg.compute_dtype)
 
+    beam_fn = None
+    if args.beam_size is not None:
+        bigram_logp = None
+        if args.bigram_lm and not cfg.decoder.bidirectional:
+            # synthetic (V, V) table: the bias ADDS the same lookup +
+            # add per step as the real train-corpus table; values only
+            # steer which hypotheses win, not how much work runs
+            V = cfg.decoder.vocab_size
+            bigram_logp = jnp.asarray(np.log(
+                np.random.default_rng(3).random((V, V)) + 1e-10),
+                jnp.float32)
+        if cfg.decoder.bidirectional:
+            from sbl_for_multilingual_lip_reading_tpu.decode.beam import (
+                make_sbl_beam_decoder)
+            beam_fn = make_sbl_beam_decoder(model, args.beam_size)
+        else:
+            from sbl_for_multilingual_lip_reading_tpu.decode.beam import (
+                make_uni_beam_decoder)
+            beam_fn = make_uni_beam_decoder(model, args.beam_size,
+                                            bigram_logp=bigram_logp)
+
     @jax.jit
     def recognize_batch(variables, clips_u8):
         # eval protocol: static center crop, no flip/frame-map (test.py)
         video = device_ingest(clips_u8, None, None, None, crop, dtype)
+        if beam_fn is not None:
+            return beam_fn(variables, video)
         if workload == "classify":
             return model.apply(variables, video, train=False)
         return model.apply(variables, video, method=model.recognize)
@@ -151,12 +196,21 @@ def main():
 
     metric = ("lrw_inference_clips_per_sec_per_chip" if workload == "sbl"
               else f"{workload}_inference_clips_per_sec_per_chip")
+    if args.beam_size is not None:
+        metric = (f"{workload}_beam{args.beam_size}"
+                  + ("_bigram" if args.bigram_lm else "")
+                  + "_clips_per_sec_per_chip")
     # model-FLOPs utilization: analytic per-clip forward FLOPs of the
     # measured graph (utils/flops.py -- MAC ops only, growing-prefix decode
     # semantics; segment padding counts as lost MFU) over the chip's peak
     # (v5e 197 TF/s bf16; SBL_PEAK_TFLOPS overrides)
     from sbl_for_multilingual_lip_reading_tpu.utils import flops as F
     fpc = F.inference_flops_per_clip(cfg)
+    if args.beam_size is not None:
+        # every hypothesis does the decoder's work (cross-KV included:
+        # enc is tiled K-fold before projection); frontend+encoder run once
+        dec = fpc - F.frontend_flops(cfg) - F.encoder_flops(cfg)
+        fpc = fpc + (args.beam_size - 1) * dec
     result = {
         "metric": metric,
         "value": round(clips_per_sec, 2),

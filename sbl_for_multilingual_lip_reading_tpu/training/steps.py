@@ -146,6 +146,63 @@ def make_epoch_fused_step(body: Callable, donate: bool = True) -> Callable:
     return fused_step
 
 
+def make_epoch_fused_step_mesh(body: Callable, mesh, donate: bool = True
+                               ) -> Callable:
+    """Mesh (dp-sharded) variant of ``make_epoch_fused_step``.
+
+    The single-chip fused step gathers batches from a device-resident
+    dataset indexed by the donated ``state.step``; under GSPMD a
+    ``jnp.take`` with arbitrary global indices on a 'data'-sharded operand
+    cannot be proven shard-local and would lower to whole-array
+    collectives.  So the batch assembly runs under ``jax.shard_map`` over
+    the 'data' axis with an explicitly LOCAL layout (built by
+    ``Trainer._epoch_const_mesh``):
+
+      order      int32[n_steps, B]   GLOBAL dataset indices; column block
+                                     d*(B/dp):(d+1)*(B/dp) must fall in
+                                     shard d's resident rows
+      clips      uint8[N, ...]       dataset sharded P('data') on N
+      per_sample {k: [N, ...]}       likewise shard-sharded
+      per_step   {k: [n_steps, B, ...]}  plans, sharded on the B axis
+
+    Each shard gathers exactly its own batch rows from its own dataset
+    block (the global index is rebased by ``axis_index('data') * N_local``
+    inside the shard body) -- zero communication in assembly -- and the
+    assembled batch leaves exit sharded P('data'), exactly what the GSPMD
+    step body expects.  The per-shard stratified shuffle this implies
+    matches the reference's multi-GPU semantics (torch DistributedSampler
+    hands each rank a fixed subset; SBL train.py:115 DataParallel scatters
+    a host batch), it is NOT a new restriction.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    def _assemble(i, order, clips, per_sample, per_step):
+        idx = jax.lax.dynamic_index_in_dim(order, i, 0, keepdims=False)
+        # rebase global -> shard-local: shard d holds rows
+        # [d*N_local, (d+1)*N_local) of every per-sample array
+        idx = idx - jax.lax.axis_index("data") * clips.shape[0]
+        batch = {k: jnp.take(v, idx, axis=0)
+                 for k, v in per_sample.items()}
+        batch["clip_u8"] = jnp.take(clips, idx, axis=0)
+        for k, v in per_step.items():
+            batch[k] = jax.lax.dynamic_index_in_dim(v, i, 0, keepdims=False)
+        return batch
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def fused_step(state: TrainState, const, rng):
+        i = (state.step - const["base"]).astype(jnp.int32)
+        assemble = jax.shard_map(
+            _assemble, mesh=mesh,
+            in_specs=(P(), P(None, "data"), P("data"), P("data"),
+                      P(None, "data")),
+            out_specs=P("data"), check_vma=False)
+        batch = assemble(i, const["order"], const["clips"],
+                         const["per_sample"], const["per_step"])
+        return body(state, batch, rng)
+
+    return fused_step
+
+
 def make_sbl_eval_step(model, cfg) -> Callable:
     crop = cfg.data.crop_size
     dtype = jnp.dtype(cfg.compute_dtype)

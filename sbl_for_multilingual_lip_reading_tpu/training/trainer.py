@@ -34,6 +34,7 @@ from .schedule import make_optimizer
 from .state import TrainState
 from .steps import (make_classify_eval_step, make_classify_train_body,
                     make_classify_train_step, make_epoch_fused_step,
+                    make_epoch_fused_step_mesh,
                     make_sbl_eval_step, make_sbl_train_body,
                     make_sbl_train_step, make_uni_eval_step,
                     make_uni_train_body, make_uni_train_step)
@@ -244,6 +245,16 @@ class Trainer:
         return TwoStreamBatchSampler(primary, secondary, self.cfg.batch_size,
                                      sec, seed=self.cfg.seed + epoch)
 
+    def _mesh_fused_ok(self) -> bool:
+        """The mesh epoch-fused path needs the dataset and batch to tile
+        evenly over the 'data' axis (each shard gathers batches from its
+        resident block only -- DistributedSampler semantics)."""
+        if self.mesh is None:
+            return False
+        dp = self.mesh.shape["data"]
+        return (self.cfg.batch_size % dp == 0
+                and len(self.train_dataset) % dp == 0)
+
     def _ensure_device_cache(self):
         if self._dev_clips is not None:
             return
@@ -251,7 +262,15 @@ class Trainer:
         n = len(ds)
         samples = [ds[i] for i in range(n)]
         clips = np.stack([s["clip_u8"] for s in samples])
-        self._dev_clips = jnp.asarray(clips)          # one-time upload
+        if self._mesh_fused_ok():
+            # shard the resident dataset over 'data' so the epoch-fused
+            # step's batch gather is shard-local (N/dp rows per chip
+            # instead of a replicated copy on every chip)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self._dev_clips = jax.device_put(
+                clips, NamedSharding(self.mesh, P("data")))
+        else:
+            self._dev_clips = jnp.asarray(clips)      # one-time upload
         self._host_small = {
             k: np.stack([s[k] for s in samples])
             for k in samples[0] if k != "clip_u8"
@@ -317,6 +336,54 @@ class Trainer:
         const["per_sample"] = self._dev_small
         return const, n_steps
 
+    def _epoch_const_mesh(self, epoch: int, max_steps: Optional[int] = None):
+        """Mesh variant of ``_epoch_const``: per-shard stratified shuffle
+        (shard d's batch columns draw only from its resident dataset rows
+        [d*N/dp, (d+1)*N/dp) -- torch DistributedSampler semantics, ref
+        SBL train.py:115) so the in-step gather is shard-local, plus
+        explicit shardings on every const leaf (order/plans split on the
+        batch axis, dataset on N).  Plans are drawn with the TRUE global
+        index rows because ``attach_plans`` reads each sample's lang_id."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        mesh = self.mesh
+        dp = mesh.shape["data"]
+        self._ensure_device_cache()
+        if self._dev_small is None:
+            self._dev_small = jax.device_put(
+                self._host_small, NamedSharding(mesh, P("data")))
+        B = self.cfg.batch_size
+        Bl, Nl = B // dp, len(self.train_dataset) // dp
+        rng = np.random.default_rng(self.cfg.seed + epoch)
+        perms = [rng.permutation(Nl) + d * Nl for d in range(dp)]
+        n_steps = Nl // Bl
+        if max_steps is not None:
+            n_steps = min(n_steps, max_steps)
+        order = np.empty((n_steps, B), np.int32)
+        for d in range(dp):
+            order[:, d * Bl:(d + 1) * Bl] = (
+                perms[d][:n_steps * Bl].reshape(n_steps, Bl))
+        shape_stub = np.broadcast_to(np.uint8(0),
+                                     (B,) + self._dev_clips.shape[1:])
+        plans = {"offsets": [], "flip": [], "frame_map": []}
+        for s in range(n_steps):
+            idx = order[s]
+            batch = {k: v[idx] for k, v in self._host_small.items()}
+            batch = attach_plans({**batch, "clip_u8": shape_stub},
+                                 self.np_rng, self.cfg, train=True)
+            for k in plans:
+                plans[k].append(batch[k])
+        rep = NamedSharding(mesh, P())
+        col = NamedSharding(mesh, P(None, "data"))
+        const = {
+            "base": jax.device_put(np.int32(int(self.state.step)), rep),
+            "order": jax.device_put(order, col),
+            "per_step": {k: jax.device_put(np.stack(v), col)
+                         for k, v in plans.items()},
+        }
+        const["clips"] = self._dev_clips
+        const["per_sample"] = self._dev_small
+        return const, n_steps
+
     def _ensure_fused_step(self):
         if self._fused_step is not None:
             return self._fused_step
@@ -328,16 +395,20 @@ class Trainer:
                 return make_sbl_train_body(model, self.tx, c)
             return make_uni_train_body(model, self.tx, c)
 
+        def _fuse(body):
+            if self.mesh is not None:
+                return make_epoch_fused_step_mesh(body, self.mesh,
+                                                  donate=self._donate)
+            return make_epoch_fused_step(body, donate=self._donate)
+
         def _rebuild_with_remat():
             import dataclasses
             c2 = dataclasses.replace(self.cfg, remat_frontend=True)
-            return make_epoch_fused_step(_make_body(c2, build_model(c2)),
-                                         donate=self._donate)
+            return _fuse(_make_body(c2, build_model(c2)))
 
         from .memguard import GuardedTrainStep
         self._fused_step = GuardedTrainStep(
-            make_epoch_fused_step(_make_body(self.cfg, self.model),
-                                  donate=self._donate),
+            _fuse(_make_body(self.cfg, self.model)),
             rebuild=(None if self.cfg.remat_frontend
                      else _rebuild_with_remat),
             logger=self.logger)
@@ -353,8 +424,8 @@ class Trainer:
                     "silently drop the fixed-ratio TwoStreamBatchSampler "
                     "protocol; unset secondary_batch_size or the device "
                     "cache")
-            if (self.mesh is None
-                    and not os.environ.get("SBL_NO_EPOCH_FUSED")):
+            if (not os.environ.get("SBL_NO_EPOCH_FUSED")
+                    and (self.mesh is None or self._mesh_fused_ok())):
                 return self._train_epoch_fused(epoch, max_steps)
             batcher = None
             it = self._device_batches(epoch)
@@ -451,7 +522,9 @@ class Trainer:
         step (tools/trainer_rate_probe.py)."""
         losses = AverageMeter()
         step_fn = self._ensure_fused_step()
-        const, n_steps = self._epoch_const(epoch, max_steps)
+        const, n_steps = (self._epoch_const_mesh(epoch, max_steps)
+                          if self.mesh is not None
+                          else self._epoch_const(epoch, max_steps))
         tracing = False
         base_step = int(self.state.step)
 

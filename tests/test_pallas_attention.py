@@ -118,8 +118,16 @@ def test_fused_mha_causal_default_precision_bounded_on_chip():
     atol (kernel and einsum round differently) -- that is rounding, not a
     kernel bug.  This bounds the divergence at default precision against
     the f32 reference: a genuine indexing/masking bug would be O(1) off,
-    bf16 rounding stays ~1e-2 on N(0,1) values.  Causality stays EXACT
-    (row 0 copies v[...,0,:] regardless of dot rounding)."""
+    bf16 rounding stays ~1e-2 on N(0,1) values.
+
+    ROOT CAUSE (round-5 on-chip run, closing the round-4 'investigation
+    pending'): row 0's softmax is exactly [1, 0, ...] so its output is the
+    PV dot's rendering of v[..., 0, :] -- and at default precision the MXU
+    rounds the V OPERAND to one bf16 pass even when p == 1.0, so row 0
+    comes back as bf16(v[0]) (measured max abs diff 0.0073 = bf16 eps on
+    N(0,1)), not v[0] exactly.  Causality is still pinned: leakage from
+    any other row would shift row 0 by O(0.1-1), far beyond one rounding.
+    """
     rng = jax.random.PRNGKey(1)
     q, k, v = (jax.random.normal(jax.random.fold_in(rng, i), (2, 4, 8, 16))
                for i in range(3))
@@ -130,8 +138,15 @@ def test_fused_mha_causal_default_precision_bounded_on_chip():
         expect = _xla_reference(q, k, v, bias)
     np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
                                atol=5e-2)
-    np.testing.assert_allclose(np.asarray(out[:, :, 0]),
-                               np.asarray(v[:, :, 0]), atol=1e-5)
+    row0 = np.asarray(out[:, :, 0])
+    v0 = np.asarray(v[:, :, 0])
+    v0_bf16 = np.asarray(v[:, :, 0].astype(jnp.bfloat16)
+                         .astype(jnp.float32))
+    d_exact = np.max(np.abs(row0 - v0))
+    d_bf16 = np.max(np.abs(row0 - v0_bf16))
+    assert min(d_exact, d_bf16) < 1e-5, (
+        f"row 0 is neither v[0] nor bf16(v[0]): exact {d_exact:.2e}, "
+        f"bf16 {d_bf16:.2e} -- causality leak, not rounding")
 
 
 @pytest.mark.skipif(jax.default_backend() != "tpu",

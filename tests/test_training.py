@@ -200,3 +200,61 @@ def test_donating_train_step_chains():
         s2, m2 = step(s1, batch, rng)
     assert int(s2.step) == 2
     assert np.isfinite(float(m2["loss"]))
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_mesh_epoch_fused_matches_stepwise(monkeypatch):
+    """The mesh epoch-fused step (shard-local batch gather under
+    jax.shard_map, steps.py::make_epoch_fused_step_mesh) must produce the
+    same loss sequence as feeding the IDENTICAL stratified batches through
+    the plain GSPMD train step with host-side assembly.  Also pins the
+    DistributedSampler-style invariant: every order column block stays
+    inside its shard's resident dataset rows."""
+    import dataclasses
+    from sbl_for_multilingual_lip_reading_tpu.data import (
+        SyntheticPatternDataset)
+    from sbl_for_multilingual_lip_reading_tpu.parallel import batch_sharding
+    monkeypatch.delenv("SBL_NO_EPOCH_FUSED", raising=False)
+    cfg = dataclasses.replace(C.tiny_test("sbl"), batch_size=8,
+                              mesh=C.MeshConfig(data=4, model=2))
+    mk = dict(n_words=4, samples_per_word=4, frames=cfg.data.frames,
+              raw_size=cfg.data.raw_size)
+    n_probe = 2
+
+    tr1 = Trainer(cfg, SyntheticPatternDataset(**mk), cache_on_device=True)
+    assert tr1._mesh_fused_ok()
+    with tr1.mesh:
+        step_fn = tr1._ensure_fused_step()
+        const, n_steps = tr1._epoch_const_mesh(0)
+        assert n_steps >= n_probe
+        fused = []
+        for _ in range(n_probe):
+            tr1.state, m = step_fn(tr1.state, const, tr1.rng)
+            fused.append(float(m["loss"]))
+
+    ds2 = SyntheticPatternDataset(**mk)
+    tr2 = Trainer(cfg, ds2, cache_on_device=True)
+    with tr2.mesh:
+        const2, _ = tr2._epoch_const_mesh(0)
+        order = np.asarray(jax.device_get(const2["order"]))
+        dp = tr2.mesh.shape["data"]
+        Bl, Nl = cfg.batch_size // dp, len(ds2) // dp
+        for d in range(dp):  # shard-local invariant
+            block = order[:, d * Bl:(d + 1) * Bl]
+            assert block.min() >= d * Nl and block.max() < (d + 1) * Nl
+        clips = np.stack([ds2[i]["clip_u8"] for i in range(len(ds2))])
+        per_step = {k: np.asarray(jax.device_get(v))
+                    for k, v in const2["per_step"].items()}
+        sharding = batch_sharding(tr2.mesh)
+        manual = []
+        for i in range(n_probe):
+            idx = order[i]
+            batch = {k: v[idx] for k, v in tr2._host_small.items()}
+            batch["clip_u8"] = clips[idx]
+            for k, v in per_step.items():
+                batch[k] = v[i]
+            batch = {k: jax.device_put(v, sharding) for k, v in batch.items()}
+            tr2.state, m = tr2.train_step(tr2.state, batch, tr2.rng)
+            manual.append(float(m["loss"]))
+    np.testing.assert_allclose(fused, manual, rtol=1e-5)
