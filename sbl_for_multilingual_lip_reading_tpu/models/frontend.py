@@ -277,9 +277,13 @@ class BasicBlock(nn.Module):
     # MXU dot-based train-mode BN statistics (DotBatchNorm / ops/bn_dot.py)
     use_dot_bn: bool = False
     # minimal-residual fused BN(+res)+ReLU (FusedBNAct / ops/bn_relu.py);
-    # production default since round 4.  NO_FUSED_BN_ACT=1 restores the
-    # composed nn.BatchNorm/GroupedBatchNorm + relu path for A/B.
-    use_fused_bn_act: bool = True
+    # default OFF since round 5: on the real chip the custom-VJP residuals
+    # PUSH the B=240 remat-off train step over 16 GB (RESOURCE_EXHAUSTED,
+    # twice, same batch where NO_FUSED_BN_ACT ran 437.7 ms/iter) -- the
+    # forced residual storage outweighs the dropped ReLU-input buffer.
+    # FUSED_BN_ACT=1 re-enables for experiments (loss parity on chip OK,
+    # max rel diff 2.1e-4 over 3 steps @B=48).
+    use_fused_bn_act: bool = False
 
     def _fused_eligible(self, x: Array, train: bool) -> bool:
         if (train or self.stride != 1 or x.shape[-1] != self.filters
@@ -394,7 +398,7 @@ class ResNetTrunk(nn.Module):
     use_pallas_resblock: bool = False
     use_pallas_bn: bool = False
     use_dot_bn: bool = False
-    use_fused_bn_act: bool = True
+    use_fused_bn_act: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -453,9 +457,10 @@ class VisualFrontend(nn.Module):
     # env knobs override for A/B measurement.
     use_dot_bn: bool = False
     # minimal-residual fused BN(+res)+ReLU (FusedBNAct / ops/bn_relu.py);
-    # production default since round 4.  NO_FUSED_BN_ACT=1 / FUSED_BN_ACT=1
-    # env knobs override for A/B measurement.
-    use_fused_bn_act: bool = True
+    # default OFF since round 5 (OOMs the B=240 remat-off prod step on the
+    # real chip -- see BasicBlock.use_fused_bn_act).  NO_FUSED_BN_ACT=1 /
+    # FUSED_BN_ACT=1 env knobs override for A/B measurement.
+    use_fused_bn_act: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False,

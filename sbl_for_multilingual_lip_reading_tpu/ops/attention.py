@@ -19,6 +19,7 @@ Falls back to interpreter mode off-TPU (tests) -- use
 """
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -209,8 +210,15 @@ import functools as _functools
 # q/k/v/bias needs saving -- which also makes it compatible with the decoder
 # scan's rematerialization.  Forward and backward MUST use the same batch
 # tile so per-program mask generation lines up (_TRAIN_TILE).
+#
+# SBL_TRAIN_TILE overrides the tile cap (read once at import) for A/B
+# measurement: larger tiles mean fewer grid programs per dispatch (the
+# decoder issues 16 steps x 6 layers x 2 attns of tiny-T kernels, so
+# per-program overhead is a real cost) at the price of more scoped VMEM
+# per program.  8 is the measured round-1 default; see CLAUDE.md round-5
+# notes for the sweep verdict.
 # ---------------------------------------------------------------------------
-_TRAIN_TILE = 8
+_TRAIN_TILE = int(os.environ.get("SBL_TRAIN_TILE", "8"))
 
 
 def _seed_tile(seed) -> jnp.ndarray:

@@ -31,7 +31,9 @@ def run(fused: bool, B: int, steps: int):
 
     os.environ.pop("NO_FUSED_BN_ACT", None)
     os.environ.pop("FUSED_BN_ACT", None)
-    if not fused:
+    if fused:
+        os.environ["FUSED_BN_ACT"] = "1"   # default is OFF since round 5
+    else:
         os.environ["NO_FUSED_BN_ACT"] = "1"
 
     cfg = C.sbl()
