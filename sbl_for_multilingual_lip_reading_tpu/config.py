@@ -71,6 +71,12 @@ class DecoderConfig:
     # 464.8 ms/iter, 2 = 410.7 (-11.6%), 4 = 410.2 (no further gain for
     # ~2x the scan-body compile) -> default 2.
     scan_unroll: int = 2
+    # Accumulate the decode scan's parameter gradients in bf16 (hoists the
+    # f32->bf16 weight cast out of the scan; halves the backward's dW
+    # accumulator HBM traffic).  Experimental knob — see
+    # decoder_sbl.SBLDecoder.grad_accum_bf16 for numerics; default OFF
+    # until measured on chip.
+    grad_accum_bf16: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

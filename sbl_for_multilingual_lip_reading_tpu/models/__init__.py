@@ -41,7 +41,8 @@ def build_model(cfg):
             use_fused_layer=cfg.use_fused_decoder_layer,
             remat=cfg.remat_decoder,
             decode_segments=d.decode_segments,
-            scan_unroll=d.scan_unroll)
+            scan_unroll=d.scan_unroll,
+            grad_accum_bf16=d.grad_accum_bf16)
         return SBLTransformer(frontend, encoder, decoder)
     decoder = UniDecoder(
         vocab_size=d.vocab_size, d_model=cfg.dims.d_model,

@@ -299,6 +299,29 @@ class SBLDecoder(nn.Module):
     # f32 traffic at B=240) at the cost of a proportionally larger scan
     # body to compile.  1 = plain while loop (default).
     scan_unroll: int = 1
+    # Hoist the params' f32->bf16 compute cast OUT of the decode scan
+    # (nn.map_variables around the scanned module): the scan then broadcasts
+    # bf16 weights and — the point — its backward accumulates the per-step
+    # parameter cotangents in bf16, halving the dW read-modify-write HBM
+    # traffic that dominates the decoder backward.  The bf16 sums are cast
+    # back to f32 once after each scan.  Numerics: per-step dW contributions
+    # round to bf16 before the (maxlen-step) accumulation — gate on
+    # measurement.  Stored params stay f32 (init bypasses the transform).
+    grad_accum_bf16: bool = False
+
+    def _wrap_grad_accum(self, scan_cls):
+        def to_bf16(tree):
+            return jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16)
+                if a.dtype == jnp.float32 else a, tree)
+
+        def to_f32(tree):
+            return jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.float32)
+                if a.dtype == jnp.bfloat16 else a, tree)
+
+        return nn.map_variables(scan_cls, "params", trans_in_fn=to_bf16,
+                                trans_out_fn=to_f32, init=False, mutable=True)
 
     def setup(self):
         step_cls = _SBLStep
@@ -314,6 +337,12 @@ class SBLDecoder(nn.Module):
             out_axes=0,
             unroll=self.scan_unroll,
         )
+        # never wrap while initializing: with multiple segment calls the
+        # second+ call would round-trip the just-created params through
+        # trans_in/trans_out (f32 -> bf16 -> f32), silently quantizing the
+        # init (caught by test_grad_accum_bf16_parity's bit-identity check)
+        if self.grad_accum_bf16 and not self.is_initializing():
+            scan_cls = self._wrap_grad_accum(scan_cls)
         self.step = scan_cls(
             self.vocab_size, self.d_model, self.n_layers, self.n_head,
             self.d_k, self.d_v, self.d_inner, self.dropout, self.pe_maxlen,

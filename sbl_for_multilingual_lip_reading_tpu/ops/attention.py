@@ -220,6 +220,16 @@ import functools as _functools
 # ---------------------------------------------------------------------------
 _TRAIN_TILE = int(os.environ.get("SBL_TRAIN_TILE", "8"))
 
+# SBL_ATTN_BF16_OPS=1: keep the FLAT train kernels' dot OPERANDS (and the
+# in-VMEM head folds) in bf16 instead of upcasting everything to f32 at
+# fold time.  Softmax/dropout/ds stay f32 (accumulators are f32 via
+# preferred_element_type).  Numerics note: at default matmul precision the
+# MXU rounds dot operands to bf16 anyway (proven by the round-5 on-chip
+# causal-bias finding), so this mostly halves the VMEM fold/move bytes
+# rather than changing results.  Read once at import for A/B measurement.
+_BF16_OPS = bool(int(os.environ.get("SBL_ATTN_BF16_OPS", "0")))
+_OPERAND_DT = jnp.bfloat16 if _BF16_OPS else jnp.float32
+
 
 def _seed_tile(seed) -> jnp.ndarray:
     """Broadcast a scalar/(1,) int32 seed into an (8, 128) VMEM tile.  A
@@ -591,8 +601,9 @@ def fused_small_mha_flat(q2: jnp.ndarray, k2: jnp.ndarray, v2: jnp.ndarray,
             q_ref, k_ref, v_ref, o_ref = refs
 
         def heads(ref):
-            # (Bt, T, D) -> (H*Bt, T, d), HEAD-major leading batch
-            x = ref[...].astype(jnp.float32)
+            # (Bt, T, D) -> (H*Bt, T, d), HEAD-major leading batch, in the
+            # operand dtype (bf16 under SBL_ATTN_BF16_OPS)
+            x = ref[...].astype(_OPERAND_DT)
             return jnp.concatenate(
                 [x[:, :, h * d:(h + 1) * d] for h in range(H)], axis=0)
 
@@ -613,7 +624,7 @@ def fused_small_mha_flat(q2: jnp.ndarray, k2: jnp.ndarray, v2: jnp.ndarray,
         p = jnp.exp(s - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
         o = jax.lax.dot_general(
-            p, vf, (((2,), (1,)), ((0,), (0,))),
+            p.astype(_OPERAND_DT), vf, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)           # (H*Bt, Tq, d)
         o4 = o.reshape(H, Bt, Tq, d)
         o_ref[...] = jnp.concatenate(
@@ -657,8 +668,9 @@ def fused_small_mha_flat(q2: jnp.ndarray, k2: jnp.ndarray, v2: jnp.ndarray,
 
 
 def _heads_fold(ref, H, d):
-    """(Bt, T, H*d) ref -> (H*Bt, T, d) fp32, head-major leading batch."""
-    x = ref[...].astype(jnp.float32)
+    """(Bt, T, H*d) ref -> (H*Bt, T, d) head-major leading batch, in the
+    operand dtype (f32, or bf16 under SBL_ATTN_BF16_OPS)."""
+    x = ref[...].astype(_OPERAND_DT)
     return jnp.concatenate([x[:, :, h * d:(h + 1) * d] for h in range(H)],
                            axis=0)
 
@@ -722,7 +734,8 @@ def fused_small_mha_dropout_fwd_flat(q2, k2, v2, n_head, bias, seed, scale,
         _, _, vf, p_drop, _, _ = _attend_train_flat(
             q_ref, k_ref, v_ref, b_ref, seed_ref, scale, rate, Bt, H,
             has_bias)
-        o = jax.lax.dot_general(p_drop, vf, (((2,), (1,)), ((0,), (0,))),
+        o = jax.lax.dot_general(p_drop.astype(_OPERAND_DT), vf,
+                                (((2,), (1,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32)
         o_ref[...] = _heads_unfold(o, H, Bt, Tq, d).astype(o_ref.dtype)
 
@@ -774,15 +787,17 @@ def fused_small_mha_dropout_bwd_flat(q2, k2, v2, n_head, bias, seed, scale,
             q_ref, k_ref, v_ref, b_ref, seed_ref, scale, rate, Bt, H,
             has_bias)
         g = _heads_fold(do_ref, H, d)                    # (H*Bt, Tq, d)
-        dv = jax.lax.dot_general(p_drop, g, (((1,), (1,)), ((0,), (0,))),
+        dv = jax.lax.dot_general(p_drop.astype(_OPERAND_DT), g,
+                                 (((1,), (1,)), ((0,), (0,))),
                                  preferred_element_type=jnp.float32)
         dpd = jax.lax.dot_general(g, vf, (((2,), (2,)), ((0,), (0,))),
                                   preferred_element_type=jnp.float32)
         dp = dpd if keep is None else jnp.where(keep, dpd, 0.0) * inv
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        dq = jax.lax.dot_general(ds, kf, (((2,), (1,)), ((0,), (0,))),
+        dsc = ds.astype(_OPERAND_DT)
+        dq = jax.lax.dot_general(dsc, kf, (((2,), (1,)), ((0,), (0,))),
                                  preferred_element_type=jnp.float32) * scale
-        dk = jax.lax.dot_general(ds, qf, (((1,), (1,)), ((0,), (0,))),
+        dk = jax.lax.dot_general(dsc, qf, (((1,), (1,)), ((0,), (0,))),
                                  preferred_element_type=jnp.float32) * scale
         dq_ref[...] = _heads_unfold(dq, H, Bt, Tq, d).astype(dq_ref.dtype)
         dk_ref[...] = _heads_unfold(dk, H, Bt, Tk, d).astype(dk_ref.dtype)

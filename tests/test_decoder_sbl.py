@@ -152,3 +152,46 @@ def test_decode_segments_equivalent(setup):
     p4 = dec4.apply(params, labels, labels_r, enc, deterministic=True)
     np.testing.assert_allclose(np.asarray(p1[0]), np.asarray(p4[0]),
                                atol=1e-4)
+
+
+def test_grad_accum_bf16_parity(setup):
+    """grad_accum_bf16 hoists the bf16 weight cast out of the decode scan.
+    At the production compute dtype (bf16) the FORWARD consumes identical
+    bf16 weights either way, so logits must match exactly; init must be
+    BIT-identical to the f32-accumulation path (init bypasses the
+    transform); grads must come back f32 and differ only by the bf16
+    rounding of the per-step dW accumulation."""
+    _, _, enc, labels, labels_r = setup
+    kw = dict(vocab_size=V, d_model=DM, n_layers=2, n_head=4,
+              d_k=8, d_v=8, d_inner=64, dropout=0.0, maxlen=MAXLEN,
+              fusion_mode="symmetric", teacher_forcing_rate=1.0,
+              decode_segments=4, dtype=jnp.bfloat16)
+    dec0 = SBLDecoder(**kw)
+    dec1 = SBLDecoder(grad_accum_bf16=True, **kw)
+    rng = jax.random.PRNGKey(0)
+    rngs = {"params": rng, "dropout": rng, "teacher": rng}
+    p0 = dec0.init(rngs, labels, labels_r, enc, deterministic=True)
+    p1 = dec1.init(rngs, labels, labels_r, enc, deterministic=True)
+    assert jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: a.dtype == b.dtype and bool(jnp.all(a == b)), p1, p0))
+
+    def loss(p, d):
+        lg_l2r, _, lg_r2l, _ = d.apply(p, labels, labels_r, enc,
+                                       deterministic=True)
+        return jnp.mean(lg_l2r ** 2) + jnp.mean(lg_r2l ** 2)
+
+    out0 = dec0.apply(p0, labels, labels_r, enc, deterministic=True)
+    out1 = dec1.apply(p0, labels, labels_r, enc, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(out0[0]), np.asarray(out1[0]))
+
+    l0, g0 = jax.value_and_grad(loss)(p0, dec0)
+    l1, g1 = jax.value_and_grad(loss)(p0, dec1)
+    assert float(l1) == float(l0)  # same forward, same loss
+    flat0 = jax.tree_util.tree_leaves(g0)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    for a, b in zip(flat0, flat1):
+        assert b.dtype == a.dtype  # grads come back f32
+        na = float(jnp.linalg.norm(a.astype(jnp.float32)))
+        nd = float(jnp.linalg.norm((b - a).astype(jnp.float32)))
+        # per-leaf L2 error bounded by bf16 accumulation rounding
+        assert nd <= 0.05 * na + 1e-6

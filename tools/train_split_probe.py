@@ -68,6 +68,9 @@ def main():
     if os.environ.get("SCAN_UNROLL"):
         cfg = dataclasses.replace(cfg, decoder=dataclasses.replace(
             cfg.decoder, scan_unroll=int(os.environ["SCAN_UNROLL"])))
+    if os.environ.get("GRAD_ACCUM_BF16"):
+        cfg = dataclasses.replace(cfg, decoder=dataclasses.replace(
+            cfg.decoder, grad_accum_bf16=True))
     B = int(os.environ.get("BENCH_B", "240"))
     model = build_model(cfg)
     rng = jax.random.PRNGKey(0)
