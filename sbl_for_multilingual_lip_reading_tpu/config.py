@@ -73,9 +73,11 @@ class DecoderConfig:
     scan_unroll: int = 2
     # Accumulate the decode scan's parameter gradients in bf16 (hoists the
     # f32->bf16 weight cast out of the scan; halves the backward's dW
-    # accumulator HBM traffic).  Experimental knob — see
-    # decoder_sbl.SBLDecoder.grad_accum_bf16 for numerics; default OFF
-    # until measured on chip.
+    # accumulator HBM traffic).  MEASURED NO-WIN on chip (round 5,
+    # tools/tpu_batch5.sh): 415.3 ms/iter vs 415.7 base bracket on the
+    # B=240 prod step — the dW segment adds are not bandwidth-bound, so
+    # the halved traffic buys nothing and the numerics risk isn't worth
+    # noise.  Kept as a recorded experiment; default OFF.
     grad_accum_bf16: bool = False
 
 

@@ -215,10 +215,13 @@ import functools as _functools
 # measurement: larger tiles mean fewer grid programs per dispatch (the
 # decoder issues 16 steps x 6 layers x 2 attns of tiny-T kernels, so
 # per-program overhead is a real cost) at the price of more scoped VMEM
-# per program.  8 is the measured round-1 default; see CLAUDE.md round-5
-# notes for the sweep verdict.
+# per program.  Round-5 on-chip sweep on the B=240 prod train step
+# (tools/tpu_batch5.sh): tile 8 = 415.7 ms/iter (base bracket mean),
+# 16 = 411.6, 32 = 411.4 -- the win saturates at 16, so 16 is the
+# default (lower VMEM headroom risk than 32 for the dropout kernels'
+# regenerated masks).
 # ---------------------------------------------------------------------------
-_TRAIN_TILE = int(os.environ.get("SBL_TRAIN_TILE", "8"))
+_TRAIN_TILE = int(os.environ.get("SBL_TRAIN_TILE", "16"))
 
 # SBL_ATTN_BF16_OPS=1: keep the FLAT train kernels' dot OPERANDS (and the
 # in-VMEM head folds) in bf16 instead of upcasting everything to f32 at
@@ -227,6 +230,11 @@ _TRAIN_TILE = int(os.environ.get("SBL_TRAIN_TILE", "8"))
 # MXU rounds dot operands to bf16 anyway (proven by the round-5 on-chip
 # causal-bias finding), so this mostly halves the VMEM fold/move bytes
 # rather than changing results.  Read once at import for A/B measurement.
+# MEASURED NO-WIN on chip (round 5, tools/tpu_batch5.sh): 414.1 ms/iter
+# vs 415.7 base bracket on the B=240 prod step (within the 1.7 ms base
+# spread); combined with GRAD_ACCUM_BF16 it read 417.5 (slightly
+# negative).  The in-VMEM fold bytes are not the attention customs'
+# cost; kept as a recorded experiment, default OFF.
 _BF16_OPS = bool(int(os.environ.get("SBL_ATTN_BF16_OPS", "0")))
 _OPERAND_DT = jnp.bfloat16 if _BF16_OPS else jnp.float32
 

@@ -1,12 +1,14 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from sbl_for_multilingual_lip_reading_tpu import config as C
 from sbl_for_multilingual_lip_reading_tpu.data import SyntheticLipDataset
 from sbl_for_multilingual_lip_reading_tpu.training import Trainer, checkpoint as ckpt
 
 
+@pytest.mark.slow
 def test_save_restore_roundtrip(tmp_path):
     cfg = C.tiny_test("sbl")
     ds = SyntheticLipDataset(size=4, frames=cfg.data.frames,
@@ -42,6 +44,7 @@ def test_partial_merge_by_shape():
     assert set(missed) == {"enc/b", "dec/w"}
 
 
+@pytest.mark.slow
 def test_sharded_checkpoint_roundtrip_on_mesh(tmp_path):
     """Save from a dp x tp mesh state, restore onto a FRESH mesh, continue
     training one step: the multi-chip resume path (reference semantics:
@@ -79,6 +82,7 @@ def test_sharded_checkpoint_roundtrip_on_mesh(tmp_path):
     assert int(tr2.state.step) == 2
 
 
+@pytest.mark.slow
 def test_restore_for_transfer_nested_prefixes(tmp_path):
     """load_prefixes accepts nested '/'-joined paths, not just top-level
     keys (a bare \"decoder/step\" used to silently match nothing)."""
@@ -103,6 +107,7 @@ def test_restore_for_transfer_nested_prefixes(tmp_path):
     assert loaded2 and all(p.startswith("frontend") for p in loaded2)
 
 
+@pytest.mark.slow
 def test_transfer_classify_encoder_into_sbl(tmp_path):
     """The three-stage recipe: classify-stage frontend+encoder seeds the SBL
     model across architecture drift (reference train.py:91-103)."""

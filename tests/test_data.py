@@ -163,6 +163,7 @@ def test_background_iter_early_close_no_thread_leak():
     assert not alive, f"{len(alive)} producer thread(s) leaked"
 
 
+@pytest.mark.slow
 def test_train_epoch_background_batches_match_inline(monkeypatch):
     """The threaded epoch loop must consume exactly the inline batch
     stream: same loss sequence with and without the producer thread."""

@@ -154,6 +154,7 @@ def test_decode_segments_equivalent(setup):
                                atol=1e-4)
 
 
+@pytest.mark.slow
 def test_grad_accum_bf16_parity(setup):
     """grad_accum_bf16 hoists the bf16 weight cast out of the decode scan.
     At the production compute dtype (bf16) the FORWARD consumes identical

@@ -34,6 +34,7 @@ def test_freeze_prefixes_keeps_frontend_fixed():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_trainer_with_mesh_config():
     cfg = dataclasses.replace(C.tiny_test("sbl"), batch_size=8,
                               mesh=C.MeshConfig(data=4, model=2))

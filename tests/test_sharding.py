@@ -32,6 +32,7 @@ def test_param_spec_rules():
         == jax.sharding.PartitionSpec()
 
 
+@pytest.mark.slow
 def test_dp_tp_train_step_matches_single_device():
     """One sharded train step on a 4x2 mesh must agree with the same step on
     a single device (GSPMD collectives preserve math)."""

@@ -114,6 +114,7 @@ def test_torch_import_mapping_complete():
 
 @pytest.mark.skipif(not os.path.isdir(REFERENCE),
                     reason="reference repo not mounted")
+@pytest.mark.slow
 def test_full_numerical_parity_with_reference():
     """End-to-end agreement with the actual reference implementation:
     weights imported from the torch model, greedy bidirectional decode must

@@ -115,6 +115,7 @@ def test_profile_dir_writes_trace(tmp_path):
                for f in produced), produced
 
 
+@pytest.mark.slow
 def test_device_cache_epoch_matches_host_path(monkeypatch):
     """cache_on_device gathers batches on-device by index; the training
     stream (shuffle order, plans, losses) must match the host Batcher
@@ -142,6 +143,7 @@ def test_device_cache_epoch_matches_host_path(monkeypatch):
     np.testing.assert_allclose(losses[1], losses[2], rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_fused_epoch_rng_parity_after_truncated_epoch(monkeypatch):
     """A max_steps-truncated fused epoch must advance the shared host plan
     RNG exactly as far as the generator path: the epoch-fused _epoch_const
@@ -169,6 +171,7 @@ def test_fused_epoch_rng_parity_after_truncated_epoch(monkeypatch):
     np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_donating_train_step_chains():
     """Trainer donates the input state on TPU (steps.py donate=True): the
     step must be re-callable chained through its own output.  On the CPU
